@@ -1,0 +1,121 @@
+"""Stage 1: vectorized mention detection / statement extraction.
+
+documents(doc_id, spans) -> statements(doc_id, stmt_no, s_surf, p, o_surf)
+
+Implemented as an Arrow-batched pandas UDF over the spans column (no per-row
+Python in the driver contract sense — one Python invocation per Arrow batch,
+pandas string ops inside). The per-row span-sequence invariant is checked by
+:func:`span_sequence_invariant`: extraction never mutates the spans column, so
+(kind, text, media_ref, order) must round-trip exactly.
+
+Reference semantics: each sentence of a text span is one statement, cf. the
+reference's one-triple-per-line TSV ingestion (core:data/formats/Tsv.scala)
+with owl:sameAs special-casing deferred to canonicalization.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rdfrules_spark.reference_extractor import STMT_RE
+
+STATEMENTS_T = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("s_surf", T.StringType()),
+            T.StructField("p", T.StringType()),
+            T.StructField("o_surf", T.StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(STATEMENTS_T)
+def _extract_statements(spans: pd.Series) -> pd.Series:
+    # Join each doc's text spans with a separator that cannot span a
+    # statement boundary, then one vectorized findall per batch.
+    joined = spans.map(
+        lambda ss: "\n".join(s["text"] for s in ss if s["kind"] == "text")
+    )
+    return joined.map(
+        lambda txt: [
+            {"s_surf": m[0], "p": m[1], "o_surf": m[2]}
+            for m in STMT_RE.findall(txt)
+        ]
+    )
+
+
+def extract_statements(documents: DataFrame) -> DataFrame:
+    """Explode per-doc statement arrays into one row per statement."""
+    stmts = documents.select(
+        "doc_id", F.posexplode(_extract_statements("spans")).alias("stmt_no", "st")
+    )
+    return stmts.select(
+        "doc_id",
+        "stmt_no",
+        F.col("st.s_surf").alias("s_surf"),
+        F.col("st.p").alias("p"),
+        F.col("st.o_surf").alias("o_surf"),
+    )
+
+
+def extract_window3(documents: DataFrame, stride: int = 3) -> DataFrame:
+    """Extraction rule for *derived* corpora (plain-text docs reshaped by
+    corpus.derive_documents): within each text span, token windows of 3 with
+    the given stride emit (tok[i], tok[i+1], tok[i+2]) as
+    (s_surf, p, o_surf). Deterministic, SQL-expressible (DuckDB oracle), and
+    entirely JVM-side — no UDF, stays in whole-stage codegen.
+
+    The middle token ``dup`` is the sameAs cue of this grammar (analog of the
+    synthetic corpus's ``aka``).
+    """
+    toks = F.split(F.col("span.text"), " ")
+    n_win = F.floor(F.size(toks) / stride).cast("int")
+    wins = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_win - 1, F.lit(-1))),
+            lambda i: F.struct(
+                F.get(toks, i * stride).alias("s_surf"),
+                F.get(toks, i * stride + 1).alias("p"),
+                F.get(toks, i * stride + 2).alias("o_surf"),
+            ),
+        ),
+        lambda w: w["o_surf"].isNotNull(),
+    )
+    return (
+        documents.select(
+            "doc_id", F.posexplode("spans").alias("span_no", "span")
+        )
+        .where(F.col("span.kind") == "text")
+        .select("doc_id", "span_no", F.posexplode(wins).alias("win_no", "w"))
+        .select(
+            "doc_id",
+            (F.col("span_no") * 1000 + F.col("win_no")).alias("stmt_no"),
+            F.col("w.s_surf").alias("s_surf"),
+            F.col("w.p").alias("p"),
+            F.col("w.o_surf").alias("o_surf"),
+        )
+    )
+
+
+def span_sequence_invariant(source: DataFrame, processed: DataFrame) -> int:
+    """#rows violating span-sequence equality (kind, text, media_ref, order).
+
+    ``processed`` is any stage output that still carries (doc_id, spans).
+    Returns 0 when every doc's span sequence survived untouched.
+    """
+    key = lambda df, n: df.select(  # noqa: E731
+        "doc_id",
+        F.transform(
+            "spans", lambda s: F.struct(s["kind"], s["text"], s["media_ref"])
+        ).alias(n),
+    )
+    joined = key(source, "src").join(key(processed, "out"), "doc_id", "full")
+    return joined.where(
+        F.col("src").isNull()
+        | F.col("out").isNull()
+        | (F.col("src") != F.col("out"))
+    ).count()

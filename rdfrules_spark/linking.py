@@ -1,0 +1,104 @@
+"""Stage 2: entity-link scoring.
+
+statements(s_surf, p, o_surf) + candidates(surface, cand_iri, score)
+  -> triples_str(doc_id, s, p, o)  [IRIs]  and sameas(a, b) edge list
+
+Scale design: mentions >> distinct surfaces, so we link each *distinct*
+surface once (distinct -> join candidates -> max_by score), then map the
+mention stream through the resulting link map. The candidate table is a
+dimension table — Catalyst broadcasts it under the 64 MB threshold; at
+100 TB scale the distinct-surface set is still orders of magnitude smaller
+than the statement stream, and AQE handles the map-back join (skewed
+celebrity surfaces are split by AQE skew-join).
+
+The link-scoring itself is expressed with built-in functions (JVM side);
+a pandas-UDF scorer hook is provided for model-based scoring
+(:func:`score_candidates_udf`) — Arrow-batched, never per-row Python.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdfrules_spark.corpus import AKA, ALIAS_MOD
+
+
+def alias_candidates(spark: SparkSession, n_entities: int) -> DataFrame:
+    """Deterministic candidate dictionary: every surface maps to its own IRI
+    with top score; alias surfaces additionally carry a low-score decoy so
+    top-1 selection is exercised."""
+    ids = spark.range(0, n_entities).select(F.col("id").cast("int").alias("i"))
+    primary = ids.select(
+        F.concat(F.lit("E"), "i").alias("surface"),
+        F.concat(F.lit("ent:E"), "i").alias("cand_iri"),
+        F.lit(1.0).alias("score"),
+    )
+    aliased = ids.where(F.col("i") % ALIAS_MOD == 3)
+    alias_self = aliased.select(
+        F.concat(F.lit("E"), "i", F.lit("x")).alias("surface"),
+        F.concat(F.lit("ent:E"), "i", F.lit("x")).alias("cand_iri"),
+        F.lit(0.9).alias("score"),
+    )
+    alias_decoy = aliased.select(
+        F.concat(F.lit("E"), "i", F.lit("x")).alias("surface"),
+        F.concat(F.lit("ent:E"), (F.col("i") + 1) % n_entities).alias("cand_iri"),
+        F.lit(0.2).alias("score"),
+    )
+    return primary.unionByName(alias_self).unionByName(alias_decoy)
+
+
+def score_candidates_udf(candidates: DataFrame) -> DataFrame:
+    """Hook: Arrow-batched pandas UDF re-scoring (stand-in for a real linker
+    model — deterministic here: tie-break on candidate IRI)."""
+
+    @F.pandas_udf("double")
+    def rescore(score: pd.Series, cand: pd.Series) -> pd.Series:
+        return score + (cand.map(hash) % 997) * 1e-12
+
+    return candidates.withColumn("score", rescore("score", "cand_iri"))
+
+
+def build_link_map(statements: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Distinct surfaces -> best candidate (max_by score)."""
+    surfaces = (
+        statements.select(F.col("s_surf").alias("surface"))
+        .unionAll(statements.select(F.col("o_surf").alias("surface")))
+        .distinct()
+    )
+    return (
+        surfaces.join(candidates, "surface", "left")
+        .groupBy("surface")
+        .agg(
+            F.coalesce(
+                F.max_by("cand_iri", "score"),
+                # unlinkable surfaces keep a deterministic surface-IRI
+                F.concat(F.lit("ent:"), F.first("surface")),
+            ).alias("iri")
+        )
+    )
+
+
+def link_statements(statements: DataFrame, candidates: DataFrame) -> DataFrame:
+    """-> linked(doc_id, stmt_no, s, p, o) with s/o as entity IRIs."""
+    link = build_link_map(statements, candidates)
+    s_link = link.withColumnRenamed("surface", "s_surf").withColumnRenamed("iri", "s")
+    o_link = link.withColumnRenamed("surface", "o_surf").withColumnRenamed("iri", "o")
+    # No broadcast hint: the link map is entity-dictionary sized (can be
+    # billions of rows at 100 TB) — AQE picks broadcast when it is small.
+    return (
+        statements.join(s_link, "s_surf")
+        .join(o_link, "o_surf")
+        .select("doc_id", "stmt_no", "s", "p", "o")
+    )
+
+
+def split_sameas(linked: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(relations, sameas_edges) — aka statements never become triples
+    (reference core:index/TripleItemHashIndex.scala:68-82)."""
+    relations = linked.where(F.col("p") != AKA)
+    sameas = linked.where(F.col("p") == AKA).select(
+        F.col("s").alias("a"), F.col("o").alias("b")
+    )
+    return relations, sameas

@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Scale posture (local[32] here, 1000-executor cluster in production):
+  - AQE on (runtime join re-planning, skew-join splitting, partition coalescing)
+  - Arrow on (every UDF in this repo is a vectorized pandas/Arrow UDF;
+    no per-row Python anywhere — BASELINE.json input_hint)
+  - shuffle partitions sized from the parallelism level; on a real cluster
+    this comes from spark-submit conf, AQE coalesces the tail.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "rdfrules-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        # local[N] -> N; on a cluster the submitter sets this explicitly.
+        try:
+            n = int(master.split("[", 1)[1].rstrip("]").replace("*", cpus))
+        except Exception:
+            n = int(cpus)
+        shuffle_partitions = max(n, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
