@@ -159,32 +159,32 @@ def simhash(text_col: str, bits: int = SIMHASH_BITS) -> "F.Column":
     """SimHash of the token stream: bit j of the result is the sign of
     sum over tokens of (+1 if bit j of h(token) else -1)."""
     toks = tokens(text_col)
-    # accumulate `bits` counters as an array<int>; JVM-side aggregate expr
+    # accumulate `bits` counters as an array<int>; JVM-side aggregate expr.
+    # bit positions are unrolled as literals (shiftright requires a literal).
     counters = F.aggregate(
         toks,
         F.array_repeat(F.lit(0), bits),
         lambda acc, t: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda j: F.when(
-                    F.shiftright(h60(t), j) % 2 == 1, 1
-                ).otherwise(-1),
+            F.array(
+                *[
+                    F.when(F.shiftright(h60(t), j) % 2 == 1, 1).otherwise(-1)
+                    for j in range(bits)
+                ]
             ),
             lambda a, b: a + b,
         ),
     )
-    return F.aggregate(
-        F.zip_with(
-            counters,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda c, j: F.when(c > 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(
-                F.lit(0).cast("bigint")
-            ),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    terms = [
+        F.when(F.get(counters, j) > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        for j in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def simhash_near_dup_pairs(
@@ -220,29 +220,36 @@ def simhash_near_dup_pairs(
     )
 
 
+def lsh_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane matrix from the shared hash family
+    (computable identically in Python/Spark/DuckDB oracle)."""
+    from rdfrules_spark.functions.hashing import hk_py
+
+    return [
+        [1.0 if hk_py(f"plane_{i}_{j}", i) % 2 == 0 else -1.0 for j in range(dim)]
+        for i in range(n_planes)
+    ]
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int = 8, dim: int = 64,
 ) -> DataFrame:
     """Cosine near-duplicates over array<float> embeddings: random-hyperplane
-    LSH bucket key (deterministic planes from the hash family), then exact
-    cosine within buckets."""
-    dim = 64  # embeddings.parquet dimension; planes derived per component
-    plane_sign = lambda i, j: F.when(  # noqa: E731
-        (hk(F.lit(f"plane_{i}_{j}"), i) % 2) == 0, 1.0
-    ).otherwise(-1.0)
+    LSH bucket key (deterministic literal planes), then exact cosine within
+    buckets. The plane dot products and cosines are ordered double folds —
+    bit-identical across engines."""
+    planes = lsh_planes(n_planes, dim)
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     key = F.concat_ws(
         "",
         *[
             F.when(
                 F.aggregate(
                     F.zip_with(
-                        F.col(vec_col),
-                        F.sequence(F.lit(0), F.lit(dim - 1)),
-                        lambda v, j, i=i: v * F.when(
-                            (hk(F.concat(F.lit(f"plane_{i}_"), j.cast("string")), i) % 2) == 0,
-                            1.0,
-                        ).otherwise(-1.0),
+                        vec_d,
+                        F.array(*[F.lit(c) for c in planes[i]]),
+                        lambda v, c: v * c,
                     ),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
@@ -253,7 +260,7 @@ def embedding_near_dup_pairs(
             for i in range(n_planes)
         ],
     )
-    with_key = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), key.alias("bk"))
+    with_key = df.select(F.col(id_col).alias("id"), vec_d.alias("v"), key.alias("bk"))
     a = with_key.select("bk", F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = with_key.select("bk", F.col("id").alias("id_b"), F.col("v").alias("vb"))
     dot = F.aggregate(

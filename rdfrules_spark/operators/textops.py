@@ -38,11 +38,14 @@ def lang_id(text: Column | str) -> Column:
     """Stopword-ratio heuristic language ID: argmax over per-language
     stopword hit counts; 'und' (undetermined) when nothing hits."""
     toks = tokens(text)
+
+    # NB: a default-arg lambda (lambda t, sw=sw: ...) would be seen by
+    # F.filter as a 2-arg (element, index) function — closure factory instead
+    def contains(sw):
+        return lambda t: t.isin(sw)
+
     scores = [
-        (
-            lang,
-            F.size(F.filter(toks, lambda t, sw=sw: t.isin(sw))),  # noqa: B023
-        )
+        (lang, F.size(F.filter(toks, contains(sw))))
         for lang, sw in LANG_STOPWORDS.items()
     ]
     best = F.greatest(*[s for _, s in scores])

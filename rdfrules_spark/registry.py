@@ -570,3 +570,517 @@ def q_event_gaps(spark, sf_dir):
             "n_session_breaks"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Text analysis (training-data pipeline first-class ops)
+# --------------------------------------------------------------------------
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+_SW_SQL = {
+    "en": "['the','and','of','to','a']",
+    "es": "['el','la','de','que','y']",
+    "fr": "['le','la','et','les','des']",
+    "de": "['der','die','und','das','ist']",
+    "zh": "['de5','shi4','le5','zai4','he2']",
+}
+_ALL_SW_SQL = (
+    "['the','and','of','to','a','el','la','de','que','y','le','la','et','les',"
+    "'des','der','die','und','das','ist','de5','shi4','le5','zai4','he2']"
+)
+_LANG_CASE = " ".join(
+    f"when best > 0 and s_{lang} = best then '{lang}'" for lang in _SW_SQL
+)
+_FP_STEP = "(a * 31 + b) % 1000000007"
+
+
+@register(
+    "text_profile",
+    f"""
+    with t as (select doc_id, text, {_TOKS_SQL} as ts from documents),
+    scored as (
+      select doc_id, text, ts, len(ts) as n_tokens,
+             {", ".join(f"len(list_filter(ts, t -> list_contains({sw}, t))) as s_{lang}" for lang, sw in _SW_SQL.items())},
+             length(text) as n_chars
+      from t),
+    lang as (
+      select *, greatest(s_en, s_es, s_fr, s_de, s_zh) as best from scored),
+    q as (
+      select doc_id, n_tokens,
+             case {_LANG_CASE} else 'und' end as lang_pred,
+             case when n_tokens > 0 then cast(n_chars as double) / n_tokens
+                  else 0.0 end as mean_tok_len,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+               / greatest(n_chars, 1) as punct_ratio,
+             len(list_filter(ts, t -> list_contains({_ALL_SW_SQL}, t)))
+               / greatest(n_tokens, 1) as sw_ratio,
+             least(n_tokens / 50.0, 1.0) as len_score,
+             list_reduce(
+               list_prepend(cast(0 as bigint),
+                 list_transform(ts, t -> {h60_sql('t')} % 1000000007)),
+               (a, b) -> {_FP_STEP}) as fp
+      from lang)
+    select doc_id, n_tokens, lang_pred,
+           round(0.4 * len_score
+                 + 0.2 * (case when mean_tok_len >= 3 and mean_tok_len <= 10
+                               then 1.0 else 0.5 end)
+                 + 0.2 * (case when punct_ratio <= 0.1 then 1.0 else 0.5 end)
+                 + 0.2 * sw_ratio, 6) as quality,
+           fp
+    from q
+    """,
+)
+def q_text_profile(spark, sf_dir):
+    from rdfrules_spark.operators.textops import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        lang_id("text").alias("lang_pred"),
+        quality_score("text").alias("quality"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication suite
+# --------------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup",
+    "select min(doc_id) as doc_id from documents group by md5(text)",
+)
+def q_exact_dedup(spark, sf_dir):
+    from rdfrules_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_SHINGLES_SQL = f"""
+    toks as (select doc_id, {_TOKS_SQL} as ts from documents),
+    sh as (select doc_id,
+                  unnest(list_distinct(list_transform(range(len(ts) - 2),
+                         i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])))
+                    as sh
+           from toks where len(ts) >= 3)
+"""
+_MH_MINS = ", ".join(f"min({hk_sql('sh', i)}) as mh_{i}" for i in range(8))
+_MH_BANDS = " ".join(
+    f"when {b} then concat(mh_{2*b}, '_', mh_{2*b+1})" for b in range(4)
+)
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    with {_SHINGLES_SQL}
+    select doc_id as id, {_MH_MINS} from sh group by doc_id
+    """,
+)
+def q_minhash_signatures(spark, sf_dir):
+    from rdfrules_spark.operators.dedup import minhash_signature
+
+    return minhash_signature(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+    with {_SHINGLES_SQL},
+    sig as (select doc_id as id, {_MH_MINS} from sh group by doc_id),
+    bands as (select id, b, case b {_MH_BANDS} end as key,
+                     {", ".join(f"mh_{i}" for i in range(8))}
+              from sig, unnest([0, 1, 2, 3]) as u(b)),
+    cand as (
+      select distinct a.id as id_a, b.id as id_b,
+             ({" + ".join(f"(case when a.mh_{i} = b.mh_{i} then 1 else 0 end)" for i in range(8))})
+               / 8 as est_jaccard
+      from bands a join bands b on a.b = b.b and a.key = b.key and a.id < b.id)
+    select id_a, id_b, est_jaccard from cand where est_jaccard >= 0.0
+    """,
+)
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from rdfrules_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.0
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    with {_SHINGLES_SQL},
+    sizes as (select doc_id, count(*) as n from sh group by doc_id),
+    inter as (select a.doc_id as id_a, b.doc_id as id_b, count(*) as inter
+              from sh a join sh b on a.sh = b.sh and a.doc_id < b.doc_id
+              group by 1, 2)
+    select id_a, id_b,
+           inter / (sa.n + sb.n - inter) as jaccard
+    from inter
+    join sizes sa on sa.doc_id = id_a
+    join sizes sb on sb.doc_id = id_b
+    where inter / (sa.n + sb.n - inter) >= 0.0
+    """,
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    from rdfrules_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.0
+    )
+
+
+@register(
+    "simhash_signatures",
+    f"""
+    with toks as (select doc_id, {_TOKS_SQL} as ts from documents),
+    tok as (select doc_id, unnest(ts) as t from toks),
+    h as (select doc_id, {h60_sql('t')} as hv from tok),
+    bits as (select doc_id, j,
+                    sum(case when (hv >> j) & 1 = 1 then 1 else -1 end) as c
+             from h, unnest(range(48)) as u(j) group by 1, 2)
+    select doc_id,
+           cast(sum(case when c > 0 then (cast(1 as bigint) << j) else 0 end)
+                as bigint) as sig
+    from bits group by doc_id
+    """,
+)
+def q_simhash_signatures(spark, sf_dir):
+    from rdfrules_spark.operators.dedup import simhash
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", simhash("text").alias("sig")
+    )
+
+
+@register(
+    "simhash_near_dup_pairs",
+    f"""
+    with toks as (select doc_id, {_TOKS_SQL} as ts from documents),
+    tok as (select doc_id, unnest(ts) as t from toks),
+    h as (select doc_id, {h60_sql('t')} as hv from tok),
+    bits as (select doc_id, j,
+                    sum(case when (hv >> j) & 1 = 1 then 1 else -1 end) as c
+             from h, unnest(range(48)) as u(j) group by 1, 2),
+    sig as (select doc_id,
+                   cast(sum(case when c > 0 then (cast(1 as bigint) << j)
+                            else 0 end) as bigint) as sig
+            from bits group by doc_id),
+    chunks as (select doc_id, sig, c,
+                      (sig >> (16 * c)) & 65535 as v
+               from sig, unnest([0, 1, 2]) as u(c)),
+    cand as (select distinct a.doc_id as id_a, b.doc_id as id_b,
+                    bit_count(xor(a.sig, b.sig)) as hamming
+             from chunks a join chunks b
+               on a.c = b.c and a.v = b.v and a.doc_id < b.doc_id)
+    select id_a, id_b, hamming from cand where hamming <= 24
+    """,
+)
+def q_simhash_near_dup_pairs(spark, sf_dir):
+    from rdfrules_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=24
+    )
+
+
+def _emb_lsh_oracle() -> str:
+    from rdfrules_spark.operators.dedup import lsh_planes
+
+    _VD = "list_transform(embedding, x -> cast(x as double))"
+
+    def _dot_sql(a, b, dim=64):
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range({dim}), "
+            f"i -> {a}[i+1] * {b}[i+1])), (s, x) -> s + x)"
+        )
+
+    def _norm_sql(a, dim=64):
+        return (
+            f"sqrt(list_reduce(list_prepend(0.0, list_transform(range({dim}), "
+            f"i -> {a}[i+1] * {a}[i+1])), (s, x) -> s + x))"
+        )
+
+    planes = lsh_planes(8, 64)
+    plane_lit = lambda i: (  # noqa: E731
+        "[" + ", ".join(str(c) for c in planes[i]) + "]"
+    )
+    sign = lambda i: (  # noqa: E731
+        f"(case when list_reduce(list_prepend(0.0, list_transform(range(64), "
+        f"i -> ve[i+1] * ({plane_lit(i)})[i+1])), (s, x) -> s + x) > 0 "
+        f"then '1' else '0' end)"
+    )
+    key = "concat(" + ", ".join(sign(i) for i in range(8)) + ")"
+    return f"""
+    with v as (select vec_id, {_VD} as ve from embeddings),
+    keyed as (select vec_id, ve, {key} as bk from v)
+    select distinct a.vec_id as id_a, b.vec_id as id_b,
+           {_dot_sql('a.ve', 'b.ve')} / ({_norm_sql('a.ve')} * {_norm_sql('b.ve')})
+             as cosine
+    from keyed a join keyed b on a.bk = b.bk and a.vec_id < b.vec_id
+    """
+
+
+@register("embedding_near_dup_pairs")
+def q_embedding_near_dup_pairs(spark, sf_dir):
+    from rdfrules_spark.operators.dedup import embedding_near_dup_pairs
+
+    out = embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=-1.0
+    )
+    return out.select("id_a", "id_b", "cosine")
+
+
+ORACLES["embedding_near_dup_pairs"] = _emb_lsh_oracle()
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+_VD = "list_transform(embedding, x -> cast(x as double))"
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range({dim}), "
+        f"i -> {a}[i+1] * {b}[i+1])), (s, x) -> s + x)"
+    )
+
+
+def _norm_sql(a: str, dim: int = 64) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0, list_transform(range({dim}), "
+        f"i -> {a}[i+1] * {a}[i+1])), (s, x) -> s + x))"
+    )
+
+
+@register(
+    "cosine_topk",
+    f"""
+    with v as (select vec_id, {_VD} as ve from embeddings),
+    q as (select vec_id as q_id, ve as qv from v order by vec_id limit 5),
+    scored as (select q_id, vec_id,
+                      {_dot_sql('ve', 'qv')} / ({_norm_sql('ve')} * {_norm_sql('qv')})
+                        as cosine
+               from v, q),
+    r as (select q_id, vec_id, cosine,
+                 row_number() over (partition by q_id
+                                    order by cosine desc, vec_id) as rank
+          from scored)
+    select q_id, vec_id, rank, round(cosine, 6) as cosine
+    from r where rank <= 10
+    """,
+)
+def q_cosine_topk(spark, sf_dir):
+    from rdfrules_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    qs = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    out = cosine_topk(emb, qs, k=10)
+    return out.select(
+        "q_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+@register(
+    "ivf_topk",
+    f"""
+    with v as (select vec_id, {_VD} as ve from embeddings),
+    cents as (select vec_id as c_id, ve as cv from v order by vec_id limit 16),
+    assign_scored as (
+      select v.vec_id, v.ve, c.c_id,
+             {_dot_sql('ve', 'cv')} / ({_norm_sql('ve')} * {_norm_sql('cv')}) as s
+      from v, cents c),
+    assigned as (
+      select vec_id, ve, c_id as bucket from (
+        select *, row_number() over (partition by vec_id
+                                     order by s desc, c_id) as r
+        from assign_scored) where r = 1),
+    q as (select vec_id as q_id, ve as qv from v order by vec_id limit 5),
+    probe_scored as (
+      select q.q_id, q.qv, c.c_id,
+             {_dot_sql('qv', 'cv')} / ({_norm_sql('qv')} * {_norm_sql('cv')}) as s
+      from q, cents c),
+    probes as (
+      select q_id, qv, c_id as bucket from (
+        select *, row_number() over (partition by q_id
+                                     order by s desc, c_id) as r
+        from probe_scored) where r <= 4),
+    scored as (
+      select p.q_id, a.vec_id,
+             {_dot_sql('a.ve', 'p.qv')} / ({_norm_sql('a.ve')} * {_norm_sql('p.qv')})
+               as cosine
+      from assigned a join probes p on a.bucket = p.bucket),
+    r as (select q_id, vec_id, cosine,
+                 row_number() over (partition by q_id
+                                    order by cosine desc, vec_id) as rank
+          from scored)
+    select q_id, vec_id, rank, round(cosine, 6) as cosine
+    from r where rank <= 10
+    """,
+)
+def q_ivf_topk(spark, sf_dir):
+    from rdfrules_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    qs = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    out = ivf_topk(emb, qs, k=10, n_centroids=16, nprobe=4)
+    return out.select(
+        "q_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# KG-construction pipeline over the derived corpus (north-star stages)
+# --------------------------------------------------------------------------
+
+_KG_W_SQL = """
+    ktoks as (select doc_id, string_split(text, ' ') as ts from documents),
+    w as (select doc_id, i,
+                 ts[i*3 + 1] as s_surf, ts[i*3 + 2] as p, ts[i*3 + 3] as o_surf
+          from ktoks,
+               unnest(range(cast(floor(len(ts) / 3) as bigint))) as u(i)
+          where i*3 + 3 <= len(ts))
+"""
+
+
+@register(
+    "kg_extract_pred_counts",
+    f"""
+    with {_KG_W_SQL}
+    select p, count(*) as cnt from w where p <> 'dup' group by p
+    """,
+)
+def q_kg_extract_pred_counts(spark, sf_dir):
+    from rdfrules_spark.corpus import derive_documents
+    from rdfrules_spark.extraction import extract_window3
+
+    docs = _t(spark, sf_dir, "documents")
+    stmts = extract_window3(derive_documents(docs))
+    return stmts.where(F.col("p") != "dup").groupBy("p").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "kg_canonical_triples",
+    f"""
+    with recursive {_KG_W_SQL},
+    stmts as (select concat('w:', s_surf) as s, p, concat('w:', o_surf) as o
+              from w),
+    edges as (select s as a, o as b from stmts where p = 'dup'),
+    sym as (select a, b from edges union select b as a, a as b from edges),
+    reach(a, b) as (
+      select a, b from sym
+      union
+      select r.a, s.b from reach r join sym s on r.b = s.a where r.a <> s.b),
+    canon as (
+      select a as node, least(a, min(b)) as canon from reach group by a),
+    rewritten as (
+      select coalesce(cs.canon, t.s) as s, t.p, coalesce(co.canon, t.o) as o
+      from stmts t
+      left join canon cs on cs.node = t.s
+      left join canon co on co.node = t.o
+      where t.p <> 'dup')
+    select p, count(*) as n_statements,
+           count(distinct (s, o)) as n_triples
+    from rewritten group by p
+    """,
+)
+def q_kg_canonical_triples(spark, sf_dir):
+    from rdfrules_spark.canonicalize import canonicalize_triples
+    from rdfrules_spark.corpus import derive_documents
+    from rdfrules_spark.extraction import extract_window3
+
+    docs = _t(spark, sf_dir, "documents")
+    stmts = extract_window3(derive_documents(docs))
+    iri = lambda c: F.concat(F.lit("w:"), F.col(c))  # noqa: E731
+    linked = stmts.select(
+        "doc_id", iri("s_surf").alias("s"), "p", iri("o_surf").alias("o")
+    )
+    rels = linked.where(F.col("p") != "dup")
+    sameas = linked.where(F.col("p") == "dup").select(
+        F.col("s").alias("a"), F.col("o").alias("b")
+    )
+    canon_rels, _ = canonicalize_triples(rels, sameas)
+    return canon_rels.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_statements"),
+        F.countDistinct("s", "o").alias("n_triples"),
+    )
+
+
+@register(
+    "kg_media_spans",
+    """
+    with ktoks as (select doc_id, string_split(text, ' ') as ts from documents)
+    select 'image' as kind,
+           cast(sum(len(list_filter(range(cast(ceil(len(ts) / 9.0) as bigint)),
+                    j -> (doc_id * 31 + j) % 3 = 0))) as bigint) as cnt
+    from ktoks
+    """,
+)
+def q_kg_media_spans(spark, sf_dir):
+    from rdfrules_spark.corpus import derive_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = derive_documents(docs).select(F.explode("spans").alias("sp"))
+    return spans.where(F.col("sp.kind") != "text").groupBy(
+        F.col("sp.kind").alias("kind")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "kg_span_invariant",
+    "select cast(0 as bigint) as violations",
+)
+def q_kg_span_invariant(spark, sf_dir):
+    """Invariant assertion: span sequences survive the pipeline untouched
+    (expected violations = 0; the oracle pins the expectation)."""
+    from rdfrules_spark.corpus import derive_documents
+    from rdfrules_spark.extraction import span_sequence_invariant
+
+    docs = derive_documents(_t(spark, sf_dir, "documents"))
+    carried = docs.select("doc_id", "spans")  # post-extraction carrier cols
+    n = span_sequence_invariant(docs, carried)
+    return spark.createDataFrame([(n,)], "violations bigint")
+
+
+@register("media_features")
+def q_media_features(spark, sf_dir):
+    """mapInPandas media feature plumbing (STUB decode) — rows-only check."""
+    from rdfrules_spark.corpus import derive_documents
+    from rdfrules_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+
+    docs = derive_documents(_t(spark, sf_dir, "documents"))
+    media = media_from_documents(docs)
+    feats = extract_features(media, dim=16)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("media_ref").alias("n_refs"),
+    )
