@@ -1,0 +1,212 @@
+"""AMIE+-style Horn-rule mining as a DataFrame self-join workload.
+
+Reference semantics (constants-free tier):
+  core:algorithm/amie/{Amie,RuleRefinement,HeadsFetcher,AtomCounting}.scala,
+  defaults core:algorithm/amie/AmieSettings.scala:17-24 (minHeadSize=100,
+  minSupport=1, maxRuleLength=3, non-injective mapping unless constrained).
+
+A rule is CLOSED when every variable occurs >= 2x. For maxRuleLength=3 and
+no constants, the complete closed-rule space over head (?a p ?b) is:
+
+  L2      : (?a p ?b) <- (?a q ?b)            [dir=f]  (q != p: atom dedup)
+            (?a p ?b) <- (?b q ?a)            [dir=i]
+  L3-2var : (?a p ?b) <- A1, A2 with A1,A2 in {(?a q ?b), (?b q ?a)},
+            A1 != A2, Ai != head atom          (unordered pair)
+  L3-3var : (?a p ?b) <- B1(a,c), B2(b,c) with B1 in {(?a q ?c),(?c q ?a)},
+            B2 in {(?b r ?c),(?c r ?b)}
+
+Instead of the reference's per-rule in-memory index lookups, each shape is
+ONE distributed job: a self-join of the (deduplicated) triple table keyed on
+the shared variables, followed by groupBy(rule-identity).countDistinct(head
+pair). support = #distinct head pairs with a body completion (non-injective:
+the dangling var may rebind head entities or the head triple itself, exactly
+like the reference with InjectiveMapping off).
+
+Scale notes:
+  * `B` (direction-tagged triples) is materialized once and reused by every
+    shape — one scan, no recompute;
+  * the L3-3var join on the shared var c is the skew hot spot (celebrity
+    entities): AQE skew-join splitting handles it; the optional
+    `max_var_degree` knob drops super-hub c bindings (documented
+    approximation, off by default);
+  * HC filtering happens inside each shape's aggregation (HAVING), so
+    nothing survives a stage that the next stage cannot use — the Spark
+    analog of the reference's support-threshold pruning during refinement
+    (RuleRefinement.scala:144-169).
+
+Rule row schema:
+  rule(p long, shape string, q long, d1 string, r long, d2 string,
+       head_size long, support long, head_coverage double)
+  shape in {'l2', 'l3v2', 'l3v3'}; d* in {'f','i'}; r/d2 null for l2.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class MiningParams:
+    min_head_size: int = 100
+    min_support: int = 1
+    min_head_coverage: float = 0.01
+    max_rule_length: int = 3
+    only_predicates: list | None = None
+    without_predicates: list | None = None
+    with_duplicate_predicates: bool = True
+    top_k: int | None = None
+
+
+def _b(triples: DataFrame) -> DataFrame:
+    """Direction-tagged body atom relation: (x, y, q, d) meaning atom
+    (?x q ?y) binds; d='f' stores (s,o), d='i' stores (o,s)."""
+    t = triples.select("s", "p", "o")
+    fwd = t.select(F.col("s").alias("x"), F.col("o").alias("y"),
+                   F.col("p").alias("q"), F.lit("f").alias("d"))
+    inv = t.select(F.col("o").alias("x"), F.col("s").alias("y"),
+                   F.col("p").alias("q"), F.lit("i").alias("d"))
+    return fwd.unionAll(inv)
+
+
+def head_sizes(triples: DataFrame, params: MiningParams) -> DataFrame:
+    """Valid head predicates with sizes (HeadsFetcher.scala:24-92)."""
+    hs = triples.groupBy("p").agg(F.count(F.lit(1)).alias("head_size"))
+    hs = hs.where(F.col("head_size") >= params.min_head_size)
+    if params.only_predicates is not None:
+        hs = hs.where(F.col("p").isin(params.only_predicates))
+    if params.without_predicates is not None:
+        hs = hs.where(~F.col("p").isin(params.without_predicates))
+    return hs
+
+
+def _finish(agg: DataFrame, heads: DataFrame, params: MiningParams) -> DataFrame:
+    out = (
+        agg.join(F.broadcast(heads), "p")
+        .withColumn("head_coverage", F.col("support") / F.col("head_size"))
+        .where(
+            (F.col("support") >= params.min_support)
+            & (F.col("head_coverage") >= params.min_head_coverage)
+        )
+    )
+    if not params.with_duplicate_predicates:
+        out = out.where(
+            (F.col("q") != F.col("p"))
+            & (F.col("r").isNull() | (F.col("r") != F.col("p")))
+            & (F.col("r").isNull() | (F.col("r") != F.col("q")))
+        )
+    return out.select(
+        "p", "shape", "q", "d1", "r", "d2", "head_size", "support", "head_coverage"
+    )
+
+
+def mine_l2(triples: DataFrame, heads: DataFrame, params: MiningParams) -> DataFrame:
+    """(?a p ?b) <- (?a q ?b) | (?b q ?a): one self-join on the head pair."""
+    h = triples.select(F.col("s").alias("x"), F.col("o").alias("y"), "p")
+    b = _b(triples)
+    j = h.join(b, ["x", "y"]).where(
+        (F.col("q") != F.col("p")) | (F.col("d") != "f")  # exclude head atom
+    )
+    agg = j.groupBy("p", "q", F.col("d").alias("d1")).agg(
+        F.count(F.lit(1)).alias("support")  # head triples are distinct pairs
+    )
+    p_type = dict(triples.dtypes)["p"]
+    agg = agg.select(
+        "p", F.lit("l2").alias("shape"), "q", "d1",
+        F.lit(None).cast(p_type).alias("r"), F.lit(None).cast("string").alias("d2"),
+        "support",
+    )
+    return _finish(agg, heads, params)
+
+
+def mine_l3_2var(triples: DataFrame, heads: DataFrame, params: MiningParams) -> DataFrame:
+    """(?a p ?b) <- A1, A2 over the same var pair: per head triple collect
+    matching atoms, count unordered atom pairs."""
+    h = triples.select(F.col("s").alias("x"), F.col("o").alias("y"), "p")
+    b = _b(triples)
+    m = h.join(b, ["x", "y"]).where(
+        (F.col("q") != F.col("p")) | (F.col("d") != "f")
+    )
+    m1 = m.select("x", "y", "p", F.col("q").alias("q"), F.col("d").alias("d1"))
+    m2 = m.select("x", "y", "p", F.col("q").alias("r"), F.col("d").alias("d2"))
+    # canonical unordered pair: (q,d1) < (r,d2) lexicographically
+    pairs = m1.join(m2, ["x", "y", "p"]).where(
+        (F.col("q") < F.col("r"))
+        | ((F.col("q") == F.col("r")) & (F.col("d1") < F.col("d2")))
+    )
+    agg = pairs.groupBy("p", "q", "d1", "r", "d2").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    agg = agg.select(
+        "p", F.lit("l3v2").alias("shape"), "q", "d1", "r", "d2", "support"
+    )
+    return _finish(agg, heads, params)
+
+
+def mine_l3_3var(
+    triples: DataFrame,
+    heads: DataFrame,
+    params: MiningParams,
+    max_var_degree: int | None = None,
+) -> DataFrame:
+    """(?a p ?b) <- B1(?a,?c), B2(?b,?c): the path-join workload.
+
+    Plan: head(a,b) ⋈ B1 on a ⋈ B2 on (b,c) — the head join FIRST bounds the
+    c-explosion by head pairs (vs body1 ⋈ body2 which is deg² per hub).
+    countDistinct head pair per (q,d1,r,d2).
+    """
+    h = triples.select(F.col("s").alias("a"), F.col("o").alias("b"), "p")
+    b = _b(triples)
+    b1 = b.select(F.col("x").alias("a"), F.col("y").alias("c"),
+                  F.col("q").alias("q"), F.col("d").alias("d1"))
+    b2 = b.select(F.col("x").alias("b"), F.col("y").alias("c"),
+                  F.col("q").alias("r"), F.col("d").alias("d2"))
+    if max_var_degree is not None:
+        deg = b.groupBy("y").agg(F.count(F.lit(1)).alias("_deg"))
+        keep = deg.where(F.col("_deg") <= max_var_degree).select("y")
+        b1 = b1.join(keep.withColumnRenamed("y", "c"), "c", "left_semi")
+        b2 = b2.join(keep.withColumnRenamed("y", "c"), "c", "left_semi")
+    j = h.join(b1, "a").join(b2, ["b", "c"])
+    agg = j.groupBy("p", "q", "d1", "r", "d2").agg(
+        F.countDistinct("a", "b").alias("support")
+    )
+    agg = agg.select(
+        "p", F.lit("l3v3").alias("shape"), "q", "d1", "r", "d2", "support"
+    )
+    return _finish(agg, heads, params)
+
+
+def mine(triples: DataFrame, params: MiningParams | None = None) -> DataFrame:
+    """Full constants-free mining run. `triples` must be distinct (s,p,o);
+    callers dedup (the triple store is distinct by construction)."""
+    params = params or MiningParams()
+    # OnlyPredicates/WithoutPredicates constrain ALL atoms (head and body),
+    # reference core:rule/RuleConstraint.scala:28-104 via
+    # AmieSettings.isValidPredicate — filter the relation once up front
+    if params.only_predicates is not None:
+        triples = triples.where(F.col("p").isin(params.only_predicates))
+    if params.without_predicates is not None:
+        triples = triples.where(~F.col("p").isin(params.without_predicates))
+    heads = head_sizes(triples, params)
+    rules = mine_l2(triples, heads, params)
+    if params.max_rule_length >= 3:
+        rules = rules.unionByName(mine_l3_2var(triples, heads, params))
+        rules = rules.unionByName(mine_l3_3var(triples, heads, params))
+    if params.top_k:
+        # reference TopKRuleConsumer: k best by HC; ties beyond k overflow
+        # (allowOverflowIfSameHeadCoverage) — keep all rules with HC >= kth
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("head_coverage"))
+        kth = (
+            rules.select("head_coverage")
+            .orderBy(F.desc("head_coverage"))
+            .limit(params.top_k)
+            .agg(F.min("head_coverage").alias("kth"))
+        )
+        rules = rules.join(F.broadcast(kth)).where(
+            F.col("head_coverage") >= F.col("kth")
+        ).drop("kth")
+    return rules

@@ -1084,3 +1084,115 @@ def q_media_features(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("media_ref").alias("n_refs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rule mining (flagship workload — reference core:algorithm/amie/)
+# --------------------------------------------------------------------------
+
+# mined over the derived-document KG (dense token graph -> real rules)
+_MINE_BASE_SQL = f"""
+    {_KG_W_SQL},
+    t as (select distinct concat('w:', s_surf) as s, p, concat('w:', o_surf) as o
+          from w where p <> 'dup'),
+    heads as (select p, count(*) as head_size from t group by p
+              having count(*) >= 50),
+    b as (select s as x, o as y, p as q, 'f' as d from t
+          union all
+          select o as x, s as y, p as q, 'i' as d from t)
+"""
+
+
+def _kg_triples_df(spark, sf_dir):
+    from rdfrules_spark.corpus import derive_documents
+    from rdfrules_spark.extraction import extract_window3
+
+    stmts = extract_window3(derive_documents(_t(spark, sf_dir, "documents")))
+    iri = lambda c: F.concat(F.lit("w:"), F.col(c))  # noqa: E731
+    return (
+        stmts.where(F.col("p") != "dup")
+        .select(iri("s_surf").alias("s"), "p", iri("o_surf").alias("o"))
+        .distinct()
+    )
+
+
+@register(
+    "mine_l2_rules",
+    f"""
+    with {_MINE_BASE_SQL},
+    j as (select t.p, b.q, b.d as d1
+          from t join b on t.s = b.x and t.o = b.y
+          where b.q <> t.p or b.d <> 'f'),
+    agg as (select p, q, d1, count(*) as support from j group by p, q, d1)
+    select agg.p, 'l2' as shape, q, d1, head_size, support,
+           support / head_size as head_coverage
+    from agg join heads on agg.p = heads.p
+    where support >= 2 and support / head_size >= 0.01
+    """,
+)
+def q_mine_l2_rules(spark, sf_dir):
+    from rdfrules_spark.mining.amie import MiningParams, head_sizes, mine_l2
+
+    t = _kg_triples_df(spark, sf_dir)
+    params = MiningParams(min_head_size=50, min_support=2, min_head_coverage=0.01)
+    heads = head_sizes(t, params)
+    return mine_l2(t, heads, params).drop("r", "d2")
+
+
+@register(
+    "mine_l3_3var_rules",
+    f"""
+    with {_MINE_BASE_SQL},
+    j as (select t.p, b1.q, b1.d as d1, b2.q as r, b2.d as d2, t.s as a, t.o as bb
+          from t
+          join b b1 on t.s = b1.x
+          join b b2 on t.o = b2.x and b1.y = b2.y),
+    agg as (select p, q, d1, r, d2, count(distinct (a, bb)) as support
+            from j group by p, q, d1, r, d2)
+    select agg.p, 'l3v3' as shape, q, d1, r, d2, head_size, support,
+           support / head_size as head_coverage
+    from agg join heads on agg.p = heads.p
+    where support >= 2 and support / head_size >= 0.05
+    """,
+)
+def q_mine_l3_3var_rules(spark, sf_dir):
+    from rdfrules_spark.mining.amie import MiningParams, head_sizes, mine_l3_3var
+
+    t = _kg_triples_df(spark, sf_dir)
+    params = MiningParams(min_head_size=50, min_support=2, min_head_coverage=0.05)
+    heads = head_sizes(t, params)
+    return mine_l3_3var(t, heads, params)
+
+
+@register(
+    "mine_l2_cwa_confidence",
+    f"""
+    with {_MINE_BASE_SQL},
+    j as (select t.p, b.q, b.d as d1
+          from t join b on t.s = b.x and t.o = b.y
+          where b.q <> t.p or b.d <> 'f'),
+    agg as (select p, q, d1, count(*) as support from j group by p, q, d1),
+    rules as (
+      select agg.p, q, d1, head_size, support,
+             support / head_size as head_coverage
+      from agg join heads on agg.p = heads.p
+      where support >= 2 and support / head_size >= 0.01),
+    bsize as (select q, count(*) as body_size from t group by q)
+    select p, q, d1, head_size, support, head_coverage, body_size,
+           support / body_size as cwa_confidence
+    from rules join (select p as q, count(*) as body_size from t group by p)
+      using (q)
+    """,
+)
+def q_mine_l2_cwa_confidence(spark, sf_dir):
+    from rdfrules_spark.mining.amie import MiningParams, head_sizes, mine_l2
+    from rdfrules_spark.mining.measures import cwa_confidence
+
+    t = _kg_triples_df(spark, sf_dir)
+    params = MiningParams(min_head_size=50, min_support=2, min_head_coverage=0.01)
+    heads = head_sizes(t, params)
+    rules = mine_l2(t, heads, params)
+    return cwa_confidence(rules, t).select(
+        "p", "q", "d1", "head_size", "support", "head_coverage",
+        "body_size", "cwa_confidence",
+    )

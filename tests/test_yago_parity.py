@@ -1,0 +1,109 @@
+"""Golden-value parity with the reference's own test suite (AmieSpec.scala)
+on its yago.tsv fixture (46,654 triples) — the cross-implementation
+correctness bar of SURVEY.md §5."""
+
+from __future__ import annotations
+
+import pytest
+
+from rdfrules_spark.mining.amie import MiningParams, mine
+from rdfrules_spark.mining.measures import cwa_confidence
+
+YAGO = "/root/reference/core/src/test/resources/yago.tsv"
+BASE = dict(min_head_size=100, min_support=1, min_head_coverage=0.01)
+
+
+@pytest.fixture(scope="module")
+def yago(spark):
+    from rdfrules_spark.sources.tsv import read_tsv
+
+    t = read_tsv(spark, YAGO).select("s", "p", "o").distinct().cache()
+    assert t.count() == 46654  # GraphSpec.scala:21-30
+    return t
+
+
+def test_default_mining_124(yago):
+    # AmieSpec.scala:45-50 / RulesetSpec.scala:32-44
+    assert mine(yago, MiningParams(**BASE)).count() == 124
+
+
+def test_without_duplicate_predicates_67(yago):
+    # AmieSpec.scala:52-68
+    rules = mine(
+        yago, MiningParams(**BASE, with_duplicate_predicates=False)
+    ).collect()
+    assert len(rules) == 67
+    hcs = sorted((r["head_coverage"] for r in rules), reverse=True)
+    assert hcs[1] == 0.22784810126582278
+
+
+def test_only_predicates_8(yago):
+    # AmieSpec.scala:70-89
+    rules = mine(
+        yago,
+        MiningParams(
+            **BASE,
+            with_duplicate_predicates=False,
+            only_predicates=["imports", "exports", "dealsWith"],
+        ),
+    ).collect()
+    assert len(rules) == 8
+    hcs = sorted((r["head_coverage"] for r in rules), reverse=True)
+    assert hcs[0] == 0.22784810126582278
+    assert hcs[1] == 0.16033755274261605
+
+
+def test_without_predicates_59(yago):
+    # AmieSpec.scala:91-108
+    rules = mine(
+        yago,
+        MiningParams(
+            **BASE,
+            with_duplicate_predicates=False,
+            without_predicates=["imports", "exports", "dealsWith"],
+        ),
+    )
+    assert rules.count() == 59
+
+
+def test_max_rule_length_2_30(yago):
+    # AmieSpec.scala:195-221 (maxlen 2 => 30)
+    assert (
+        mine(
+            yago,
+            MiningParams(**BASE, with_duplicate_predicates=False, max_rule_length=2),
+        ).count()
+        == 30
+    )
+
+
+def test_min_head_size_1000_11(yago):
+    # AmieSpec.scala:223-239
+    rules = mine(
+        yago,
+        MiningParams(
+            min_head_size=1000,
+            min_support=1,
+            min_head_coverage=0.01,
+            with_duplicate_predicates=False,
+        ),
+    ).collect()
+    assert len(rules) == 11
+    assert all(r["head_size"] >= 1000 for r in rules)
+
+
+def test_topk_10(yago):
+    # AmieSpec.scala:241-257
+    rules = mine(
+        yago, MiningParams(**BASE, with_duplicate_predicates=False, top_k=10)
+    ).collect()
+    assert len(rules) == 10
+    hcs = sorted((r["head_coverage"] for r in rules), reverse=True)
+    assert hcs[1] == 0.22784810126582278
+
+
+def test_cwa_confidence_7(yago):
+    # AmieSpec.scala:259-274 ("count confidence": CWA >= 0.2 => 7)
+    rules = mine(yago, MiningParams(**BASE, with_duplicate_predicates=False))
+    cwa = cwa_confidence(rules, yago)
+    assert cwa.where("cwa_confidence >= 0.2").count() == 7
