@@ -1,0 +1,233 @@
+"""Headline benchmark for the rdfrules_spark engine.
+
+Runs the north-star KG-construction pipeline plus the flagship mining /
+dedup / similarity operators at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": <float>, ...aux...}
+
+Workloads (each one timed end-to-end, count() as the action):
+
+  kg_synth_pipeline   synth corpus (deterministic, sized by sf) -> extraction
+                      (pandas UDF) -> linking -> salted-CC canonicalization ->
+                      dictionary-encoded predicate-bucketed triple store.
+                      This is BASELINE.json's "triples extracted/sec" metric;
+                      the derived rate is reported as `triples_per_sec`.
+  kg_sf_documents     same pipeline shape over the driver-provided
+                      documents.parquet at the chosen sf.
+  mine_kg_l3          AMIE length<=3 mining + CWA confidence on the synthetic
+                      KG from kg_synth_pipeline (DataFrame self-join workload).
+  mine_yago           the reference's own AmieSpec workload (yago.tsv, 46,654
+                      triples, minHC=0.01 -> 124 rules) incl. CWA+PCA
+                      confidence — comparable to BASELINE.md task1 semantics.
+                      Skipped (not counted) if the fixture is absent.
+  minhash_lsh         MinHash+LSH near-dup pairs over documents.parquet.
+  cosine_topk         brute-force cosine top-k over embeddings.parquet.
+
+``--scaling`` mode re-runs kg_synth_pipeline in two subprocesses at
+local[N] and local[4N] (default N=8) on identical input and prints both
+throughputs plus scaling efficiency — the sandbox stand-in for the
+N-vs-4N-executor criterion (see BENCH.md / BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR_DEFAULT = "/root/testdata/sf0.1"
+YAGO = "/root/reference/core/src/test/resources/yago.tsv"
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def n_docs_for(sf: float) -> int:
+    # sf0.1 -> 60k docs (~390k sentences / ~900k extracted statements);
+    # scales linearly with sf, floor keeps sf0.001 meaningful.
+    return max(2000, int(600_000 * sf))
+
+
+def bench_kg_synth(spark, n_docs: int, aux: dict) -> None:
+    from rdfrules_spark.pipeline import synth_pipeline
+
+    res = synth_pipeline(spark, n_docs)
+    n_triples = res.triples.count()
+    n_stmts = res.statements.count()
+    aux["synth_docs"] = n_docs
+    aux["synth_statements"] = n_stmts
+    aux["synth_triples"] = n_triples
+
+
+def bench_kg_sf(spark, sf_dir: str, aux: dict) -> None:
+    import __spark_entry__ as e
+
+    aux["sf_triples"] = e._kg_triples(spark, sf_dir).count()
+
+
+def bench_mine_kg(spark, n_docs: int, aux: dict) -> None:
+    from rdfrules_spark.mining.amie import MiningParams, mine
+    from rdfrules_spark.mining.measures import cwa_confidence
+    from rdfrules_spark.pipeline import synth_pipeline
+
+    triples = synth_pipeline(spark, n_docs).triples.select("s", "p", "o").cache()
+    triples.count()
+    params = MiningParams(min_head_size=100, min_support=2, min_head_coverage=0.01)
+    rules = mine(triples, params)
+    aux["mine_kg_rules"] = cwa_confidence(rules, triples).count()
+    triples.unpersist()
+
+
+def bench_mine_yago(spark, aux: dict) -> bool:
+    if not os.path.exists(YAGO):
+        return False
+    from rdfrules_spark.mining.amie import MiningParams, mine
+    from rdfrules_spark.mining.measures import cwa_confidence, pca_confidence
+    from rdfrules_spark.sources.tsv import read_tsv
+
+    t = read_tsv(spark, YAGO).select("s", "p", "o").distinct().cache()
+    t.count()
+    rules = mine(t, MiningParams()).cache()
+    aux["yago_rules"] = rules.count()  # 124 (AmieSpec.scala:45-50)
+    aux["yago_rules_cwa_pca"] = pca_confidence(cwa_confidence(rules, t), t).count()
+    rules.unpersist()
+    t.unpersist()
+    return True
+
+
+def bench_minhash(spark, sf_dir: str, aux: dict) -> None:
+    from pyspark.sql import functions as F
+
+    from rdfrules_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("text")
+    )
+    aux["minhash_pairs"] = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5
+    ).count()
+
+
+def bench_cosine(spark, sf_dir: str, aux: dict) -> None:
+    from pyspark.sql import functions as F
+
+    from rdfrules_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    qs = (
+        emb.orderBy("vec_id")
+        .limit(32)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    aux["cosine_rows"] = cosine_topk(emb, qs, k=10).count()
+
+
+def run_bench(sf_dir: str, only: set[str] | None = None) -> dict:
+    from rdfrules_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("rdfrules-bench", master=f"local[{cpus}]")
+    sf = sf_of(sf_dir)
+    n_docs = n_docs_for(sf)
+    aux: dict = {}
+    queries: dict[str, float] = {}
+
+    def timed(name, fn, *args) -> None:
+        if only and name not in only:
+            return
+        t0 = time.perf_counter()
+        ran = fn(*args)
+        if ran is False:
+            return
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    timed("kg_synth_pipeline", bench_kg_synth, spark, n_docs, aux)
+    timed("kg_sf_documents", bench_kg_sf, spark, sf_dir, aux)
+    timed("mine_kg_l3", bench_mine_kg, spark, n_docs, aux)
+    timed("mine_yago", bench_mine_yago, spark, aux)
+    timed("minhash_lsh", bench_minhash, spark, sf_dir, aux)
+    timed("cosine_topk", bench_cosine, spark, sf_dir, aux)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "kg_construct_headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": int(cpus),
+    }
+    if "kg_synth_pipeline" in queries:
+        out["triples_per_sec"] = round(
+            aux["synth_triples"] / queries["kg_synth_pipeline"], 1
+        )
+        out["statements_per_sec"] = round(
+            aux["synth_statements"] / queries["kg_synth_pipeline"], 1
+        )
+    out.update(aux)
+    spark.stop()
+    return out
+
+
+def run_scaling(sf_dir: str, n_low: int = 8) -> dict:
+    """Same job, two parallelism levels, in fresh subprocesses."""
+    results = {}
+    for cpus in (n_low, n_low * 4):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        env.pop("SPARK_GRAFT_MASTER", None)
+        p = subprocess.run(
+            [sys.executable, __file__, sf_dir, "--only", "kg_synth_pipeline"],
+            capture_output=True, text=True, env=env, cwd=os.path.dirname(__file__),
+        )
+        line = p.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    lo, hi = results[n_low], results[n_low * 4]
+    t_lo = lo["queries"]["kg_synth_pipeline"]
+    t_hi = hi["queries"]["kg_synth_pipeline"]
+    speedup = t_lo / t_hi
+    return {
+        "metric": "scaling_efficiency_n_vs_4n",
+        "value": round(speedup / 4.0, 3),
+        "unit": "ratio",
+        "n_low": n_low,
+        "n_high": n_low * 4,
+        "sec_low": t_lo,
+        "sec_high": t_hi,
+        "triples": lo.get("synth_triples"),
+        "triples_per_sec_low": lo.get("triples_per_sec"),
+        "triples_per_sec_high": hi.get("triples_per_sec"),
+        "speedup": round(speedup, 3),
+        "sf": lo["sf"],
+    }
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    scaling = "--scaling" in args
+    if scaling:
+        args.remove("--scaling")
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    sf_dir = args[0] if args else os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR_DEFAULT)
+    out = run_scaling(sf_dir) if scaling else run_bench(sf_dir, only)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,221 @@
+"""Triple prediction + KGC evaluation (reference core:prediction/).
+
+predict_triples     rule body bindings -> candidate head triples, tagged
+                    Positive / PcaPositive / Negative exactly per reference
+                    core:prediction/Instantiation.scala:37-53:
+                      in KG                          -> Positive
+                      head entity absent on the head predicate's
+                      higherCardinalitySide          -> PcaPositive
+                      otherwise                      -> Negative
+score_predictions   per-triple aggregation over contributing rules:
+                    NoisyOr (1 - prod(1-conf), NoisyOrScorer.scala:9-24) and
+                    Maximum (MaximumScorer.scala:8-23); top contributing
+                    rules kept like aggregator/TopRules.scala.
+prediction_tasks    group candidates into (?,p,e)/(e,p,?) tasks on the head
+                    predicate's lower-cardinality side
+                    (PredictionTasksBuilder.scala:9-55) + per-task top-k
+                    candidate ranking (Select.scala:8-33 TopK strategy).
+evaluate_ranking    hits@k / MR / MRR over tasks with a known true answer
+                    (eval/RankingEvaluationBuilder.scala:6-64).
+evaluate_completeness  TP/FP/FN + precision/recall/F1 vs a test set
+                    (eval/CompletenessEvaluationBuilder.scala:7-28).
+
+Scale notes:
+  * prediction is ONE job per rule *shape*, not per rule: body bindings are
+    computed once per surviving (q,d1,r,d2) combo (measures.body_pairs) and
+    joined to the rule table — no driver-side per-rule loop;
+  * the Positive/Pca tagging joins are left-semi/left-anti against the
+    (deduplicated) triple relation — no row explosion;
+  * task ranking is a single window (partitionBy task) — the classic top-k
+    per-group shape; AQE handles predicate skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rdfrules_spark.mining.measures import body_pairs
+
+RULE_KEY = ["p", "shape", "q", "d1", "r", "d2"]
+
+
+def _null_safe_join(left: DataFrame, right: DataFrame, keys: list[str], how="inner"):
+    """Null-safe equi-join; right's key columns are renamed first so the two
+    sides never share attribute ids (both may derive from the same rules DF)."""
+    renamed = right
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, "_" + k)
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col("_" + k))
+        cond = c if cond is None else cond & c
+    return left.join(renamed, cond, how).drop(*["_" + k for k in keys])
+
+
+def predict_triples(
+    rules: DataFrame, triples: DataFrame, conf_col: str = "cwa_confidence"
+) -> DataFrame:
+    """Candidate triples from every rule: (s, p, o, <rule key>, conf, result).
+
+    `rules` must carry RULE_KEY + `conf_col`; `triples` is the distinct
+    (s, p, o) relation the bodies bind against (train KG).
+    """
+    t = triples.select("s", "p", "o")
+    preds = None
+    for shape in ("l2", "l3v2", "l3v3"):
+        shaped = rules.where(F.col("shape") == shape)
+        pairs = body_pairs(t, shaped, shape)  # (q,d1,r,d2,a,b) distinct
+        rs = shaped.select(*RULE_KEY, F.col(conf_col).alias("conf"))
+        cand = _null_safe_join(
+            pairs, rs, ["q", "d1", "r", "d2"]
+        ).select(
+            F.col("a").alias("s"), "p", F.col("b").alias("o"),
+            "shape", "q", "d1", "r", "d2", "conf",
+        )
+        preds = cand if preds is None else preds.unionByName(cand)
+
+    # --- tagging (Instantiation.scala:37-53) ---
+    known = t.select("s", "p", "o").withColumn("_pos", F.lit(True))
+    # higherCardinalitySide per head predicate (TripleIndex.scala:155-169):
+    # side with MORE distinct values; the PCA existence check keys on it.
+    side = t.groupBy("p").agg(
+        F.countDistinct("s").alias("ns"), F.countDistinct("o").alias("no")
+    ).select(
+        "p",
+        F.when(F.col("ns") >= F.col("no"), "subject").otherwise("object")
+        .alias("hc_side"),
+    )
+    subs = t.select("p", F.col("s").alias("e")).distinct().withColumn("_se", F.lit(True))
+    objs = t.select("p", F.col("o").alias("e")).distinct().withColumn("_oe", F.lit(True))
+
+    out = (
+        preds.join(known, ["s", "p", "o"], "left")
+        .join(F.broadcast(side), "p")
+        .join(subs.withColumnRenamed("e", "s"), ["p", "s"], "left")
+        .join(objs.withColumnRenamed("e", "o"), ["p", "o"], "left")
+    )
+    head_entity_known = F.when(
+        F.col("hc_side") == "subject", F.coalesce(F.col("_se"), F.lit(False))
+    ).otherwise(F.coalesce(F.col("_oe"), F.lit(False)))
+    return out.select(
+        "s", "p", "o", "shape", "q", "d1", "r", "d2", "conf",
+        F.when(F.col("_pos").isNotNull(), "Positive")
+        .when(~head_entity_known, "PcaPositive")
+        .otherwise("Negative")
+        .alias("result"),
+    )
+
+
+def score_predictions(
+    predictions: DataFrame, top_rules: int = 3
+) -> DataFrame:
+    """Per-triple aggregate: noisy_or, max_score, n_rules, top rule keys."""
+    rule_id = F.concat_ws(
+        "|", F.col("shape"), F.col("q"), F.col("d1"),
+        F.coalesce(F.col("r").cast("string"), F.lit("-")),
+        F.coalesce(F.col("d2"), F.lit("-")),
+    )
+    clamped = F.least(F.col("conf"), F.lit(1.0 - 1e-12))
+    return (
+        predictions.withColumn("_rid", rule_id)
+        .groupBy("s", "p", "o", "result")
+        .agg(
+            (1.0 - F.exp(F.sum(F.log(1.0 - clamped)))).alias("noisy_or"),
+            F.max("conf").alias("max_score"),
+            F.count(F.lit(1)).alias("n_rules"),
+            F.slice(
+                F.reverse(F.array_sort(F.collect_list(F.struct("conf", "_rid")))),
+                1, top_rules,
+            ).alias("top_rules"),
+        )
+    )
+
+
+def prediction_tasks(
+    scored: DataFrame,
+    triples: DataFrame,
+    top_k: int = 10,
+    score_col: str = "noisy_or",
+) -> DataFrame:
+    """(entity, p, ?fixed-side) tasks with ranked candidates.
+
+    The predicted side is the head predicate's lowerCardinalitySide
+    (PredictionTasksBuilder.FromPredicateCardinalities): fewer distinct
+    values = the side worth predicting; the other side is fixed.
+    """
+    side = triples.groupBy("p").agg(
+        F.countDistinct("s").alias("ns"), F.countDistinct("o").alias("no")
+    ).select(
+        "p",
+        F.when(F.col("ns") < F.col("no"), "subject").otherwise("object")
+        .alias("predict_side"),
+    )
+    tasks = scored.join(F.broadcast(side), "p").select(
+        "p",
+        F.col("predict_side"),
+        F.when(F.col("predict_side") == "subject", F.col("o")).otherwise(F.col("s"))
+        .alias("fixed_entity"),
+        F.when(F.col("predict_side") == "subject", F.col("s")).otherwise(F.col("o"))
+        .alias("candidate"),
+        F.col(score_col).alias("score"),
+        "result",
+    )
+    w = Window.partitionBy("p", "predict_side", "fixed_entity").orderBy(
+        F.desc("score"), F.asc("candidate")
+    )
+    return (
+        tasks.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )
+
+
+def evaluate_ranking(
+    ranked_tasks: DataFrame, test: DataFrame, ks: tuple[int, ...] = (1, 3, 10)
+) -> DataFrame:
+    """hits@k / MR / MRR: rank of each true test triple among its task's
+    candidates (unranked true triples count as a miss, FromTest mode)."""
+    side = ranked_tasks.select("p", "predict_side").distinct()
+    truth = test.select("s", "p", "o").join(side, "p").select(
+        "p", "predict_side",
+        F.when(F.col("predict_side") == "subject", F.col("o")).otherwise(F.col("s"))
+        .alias("fixed_entity"),
+        F.when(F.col("predict_side") == "subject", F.col("s")).otherwise(F.col("o"))
+        .alias("candidate"),
+    )
+    j = truth.join(
+        ranked_tasks.select(
+            "p", "predict_side", "fixed_entity", "candidate", "rank"
+        ),
+        ["p", "predict_side", "fixed_entity", "candidate"],
+        "left",
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_tasks"),
+        F.avg(F.coalesce(1.0 / F.col("rank"), F.lit(0.0))).alias("mrr"),
+        F.avg(F.col("rank").cast("double")).alias("mr_found"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.avg(
+                F.when(F.col("rank") <= k, 1.0).otherwise(0.0)
+            ).alias(f"hits_{k}")
+        )
+    return j.agg(*aggs)
+
+
+def evaluate_completeness(predicted: DataFrame, test: DataFrame) -> DataFrame:
+    """TP/FP/FN + precision/recall/F1 (CompletenessEvaluationBuilder)."""
+    p = predicted.select("s", "p", "o").distinct()
+    t = test.select("s", "p", "o").distinct()
+    tp = p.join(t, ["s", "p", "o"], "left_semi").count()
+    fp = p.join(t, ["s", "p", "o"], "left_anti").count()
+    fn = t.join(p, ["s", "p", "o"], "left_anti").count()
+    spark = predicted.sparkSession
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return spark.createDataFrame(
+        [(tp, fp, fn, prec, rec, f1)],
+        "tp bigint, fp bigint, fn bigint, precision double, recall double, f1 double",
+    )

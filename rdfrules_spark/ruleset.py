@@ -1,0 +1,227 @@
+"""Ruleset post-processing (reference core:ruleset/Ruleset.scala).
+
+rule_similarity  pairwise rule similarity within head-predicate groups —
+                 content similarity (shared body atoms, SimilarityCounting
+                 .scala:18-142 AtomsSimilarityCounting) blended with measure
+                 proximity (support/HC distance).
+dbscan_clusters  DBSCAN over the similarity graph (DbScan.scala:10-57),
+                 grouped by head predicate like makeClusters' default
+                 (Ruleset.scala:230-245): epsilon-graph -> core points
+                 (>= min_neighbours neighbours) -> connected components of
+                 the core-core subgraph -> border points join a neighbouring
+                 core's cluster; noise points get their own singleton id.
+cba_prune        CBA data-coverage pruning (Ruleset.scala:123-149): walk
+                 rules in priority order, keep a rule iff it predicts at
+                 least one not-yet-covered head triple. Distributed form:
+                 per predicted triple, the best-priority covering rule gets
+                 the credit (window rank 1) — identical kept-set because
+                 coverage only ever removes triples from later rules.
+find_similar     k nearest rules to a given rule by the same similarity.
+
+Scale notes:
+  * pairwise similarity is confined to head-predicate groups (reference
+    default `byHeadPredicate`) and capped by `max_group` top rules per
+    group (the reference's own tests cluster top-500 only,
+    RulesetSpec.scala:86) — the quadratic blowup is bounded by construction;
+  * DBSCAN's transitive closure is the same iterative min-label propagation
+    used for entity canonicalization (one implementation, two call sites);
+  * cba_prune is two shuffles (predict join + window), no driver iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rdfrules_spark.canonicalize import connected_components
+
+RULE_KEY = ["p", "shape", "q", "d1", "r", "d2"]
+
+
+def _rid(prefix: str = "") -> F.Column:
+    return F.concat_ws(
+        "|",
+        *[F.coalesce(F.col(prefix + c).cast("string"), F.lit("-")) for c in
+          ["p", "shape", "q", "d1", "r", "d2"]],
+    )
+
+
+def _atoms(prefix: str = "") -> F.Column:
+    """Body atoms as a comparable set: {'q|d1', 'r|d2'} (null r dropped)."""
+    a1 = F.concat_ws("|", F.col(prefix + "q").cast("string"), F.col(prefix + "d1"))
+    a2 = F.when(
+        F.col(prefix + "r").isNotNull(),
+        F.concat_ws("|", F.col(prefix + "r").cast("string"), F.col(prefix + "d2")),
+    )
+    return F.array_distinct(F.filter(F.array(a1, a2), lambda x: x.isNotNull()))
+
+
+def rule_similarity(
+    rules: DataFrame,
+    max_group: int = 500,
+    content_weight: float = 0.5,
+) -> DataFrame:
+    """Pairwise (rid_a, rid_b, sim) within head-predicate groups, a < b.
+
+    sim = content_weight * Jaccard(body atoms) +
+          (1-content_weight) * (1 - |hc_a - hc_b|).
+    """
+    w = Window.partitionBy("p").orderBy(F.desc("head_coverage"), _rid())
+    base = (
+        rules.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= max_group)
+        .select(
+            "p", _rid().alias("rid"), _atoms().alias("atoms"),
+            F.col("head_coverage").alias("hc"),
+        )
+    )
+    a = base.select(
+        "p", F.col("rid").alias("rid_a"), F.col("atoms").alias("atoms_a"),
+        F.col("hc").alias("hc_a"),
+    )
+    b = base.select(
+        "p", F.col("rid").alias("rid_b"), F.col("atoms").alias("atoms_b"),
+        F.col("hc").alias("hc_b"),
+    )
+    inter = F.size(F.array_intersect("atoms_a", "atoms_b"))
+    union = F.size(F.array_union("atoms_a", "atoms_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        a.join(b, "p")
+        .where(F.col("rid_a") < F.col("rid_b"))
+        .select(
+            "p", "rid_a", "rid_b",
+            (content_weight * jac
+             + (1.0 - content_weight) * (1.0 - F.abs(F.col("hc_a") - F.col("hc_b"))))
+            .alias("sim"),
+        )
+    )
+
+
+def dbscan_clusters(
+    rules: DataFrame,
+    min_similarity: float = 0.5,
+    min_neighbours: int = 1,
+    max_group: int = 500,
+) -> DataFrame:
+    """rules + cluster id (reference Measure.Cluster). Noise = singleton."""
+    sims = rule_similarity(rules, max_group=max_group).where(
+        F.col("sim") >= min_similarity
+    )
+    edges = sims.select(F.col("rid_a").alias("a"), F.col("rid_b").alias("b"))
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("_deg"))
+    core = deg.where(F.col("_deg") >= min_neighbours).select(F.col("a").alias("n"))
+    core_edges = (
+        edges.join(core.withColumnRenamed("n", "a"), "a", "left_semi")
+        .join(core.withColumnRenamed("n", "b"), "b", "left_semi")
+    )
+    cc = connected_components(core_edges.select("a", "b")).select(
+        "node", F.col("canon").alias("label")
+    )
+    # singleton core points (core by degree but no core-core edge)
+    lone_core = core.join(
+        cc.select(F.col("node").alias("n")), "n", "left_anti"
+    ).select(F.col("n").alias("node"), F.col("n").alias("label"))
+    cc = cc.unionByName(lone_core)
+    # border points: non-core with a core neighbour -> that core's cluster
+    border = (
+        sym.join(core.withColumnRenamed("n", "b"), "b", "left_semi")
+        .join(core.withColumnRenamed("n", "a"), "a", "left_anti")
+        .join(cc.withColumnRenamed("node", "b"), "b")
+        .groupBy("a").agg(F.min("label").alias("label"))
+        .select(F.col("a").alias("node"), "label")
+    )
+    labels = cc.unionByName(border)
+    out = rules.withColumn("rid", _rid()).join(
+        labels.withColumnRenamed("node", "rid"), "rid", "left"
+    )
+    return out.withColumn(
+        "cluster", F.coalesce(F.col("label"), F.col("rid"))
+    ).drop("label")
+
+
+def cba_prune(
+    predictions: DataFrame,
+    rules: DataFrame,
+    only_existing: bool = True,
+) -> DataFrame:
+    """Keep rules that cover >= 1 new head triple in priority order.
+
+    `predictions` = predict_triples() output (s,p,o + rule key + result);
+    priority = default measure ordering (Measure.scala:144-154): higher
+    cwa_confidence, then head_coverage, then support, ties broken by rid.
+    """
+    pri = rules.select(
+        *RULE_KEY,
+        F.row_number().over(
+            Window.orderBy(
+                F.desc(F.coalesce(F.col("cwa_confidence"), F.lit(0.0))),
+                F.desc("head_coverage"), F.desc("support"), _rid(),
+            )
+        ).alias("_pri"),
+    )
+    preds = predictions
+    if only_existing:
+        preds = preds.where(F.col("result") == "Positive")
+    ren = pri
+    for k in RULE_KEY:
+        ren = ren.withColumnRenamed(k, "_" + k)
+    cond = None
+    for k in RULE_KEY:
+        c = F.col(k).eqNullSafe(F.col("_" + k))
+        cond = c if cond is None else cond & c
+    j = preds.join(ren, cond).drop(*["_" + k for k in RULE_KEY])
+    w = Window.partitionBy("s", "p", "o").orderBy("_pri")
+    credited = (
+        j.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(*RULE_KEY).distinct()
+    )
+    ren2 = credited
+    for k in RULE_KEY:
+        ren2 = ren2.withColumnRenamed(k, "_" + k)
+    cond2 = None
+    for k in RULE_KEY:
+        c = F.col(k).eqNullSafe(F.col("_" + k))
+        cond2 = c if cond2 is None else cond2 & c
+    return rules.join(ren2, cond2, "left_semi")
+
+
+def find_similar(
+    rules: DataFrame, rule_row: dict, k: int = 10, dissimilar: bool = False
+) -> DataFrame:
+    """k most (dis)similar rules to `rule_row` (same head predicate group)."""
+    spark = rules.sparkSession
+    one = spark.createDataFrame(
+        [tuple(rule_row.get(c) for c in RULE_KEY) + (rule_row["head_coverage"],)],
+        "p string, shape string, q string, d1 string, r string, d2 string, "
+        "head_coverage double",
+    )
+    # cast key columns to match rules dtypes
+    for c in RULE_KEY + ["head_coverage"]:
+        one = one.withColumn(c, F.col(c).cast(dict(rules.dtypes)[c]))
+    target = one.select(
+        "p", _rid().alias("rid_t"), _atoms().alias("atoms_t"),
+        F.col("head_coverage").alias("hc_t"),
+    )
+    cand = rules.select(
+        "p", _rid().alias("rid"), _atoms().alias("atoms"),
+        F.col("head_coverage").alias("hc"),
+    )
+    inter = F.size(F.array_intersect("atoms", "atoms_t"))
+    union = F.size(F.array_union("atoms", "atoms_t"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    sims = (
+        cand.join(F.broadcast(target), "p")
+        .where(F.col("rid") != F.col("rid_t"))
+        .select(
+            "rid",
+            (0.5 * jac + 0.5 * (1.0 - F.abs(F.col("hc") - F.col("hc_t"))))
+            .alias("sim"),
+        )
+    )
+    order = F.asc("sim") if dissimilar else F.desc("sim")
+    return sims.orderBy(order, "rid").limit(k)
