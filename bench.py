@@ -17,8 +17,10 @@ Workloads (each one timed end-to-end, count() as the action):
                       the derived rate is reported as `triples_per_sec`.
   kg_sf_documents     same pipeline shape over the driver-provided
                       documents.parquet at the chosen sf.
-  mine_kg_l3          AMIE length<=3 mining + CWA confidence on the synthetic
-                      KG from kg_synth_pipeline (DataFrame self-join workload).
+  mine_kg_l3          AMIE length<=3 mining + CWA confidence >= 0.1 on a
+                      deterministic synthetic KG (sf0.1 -> ~1M distinct
+                      triples — the reference benchmark's yago2core scale;
+                      DataFrame self-join workload).
   mine_yago           the reference's own AmieSpec workload (yago.tsv, 46,654
                       triples, minHC=0.01 -> 124 rules) incl. CWA+PCA
                       confidence — comparable to BASELINE.md task1 semantics.
@@ -75,16 +77,23 @@ def bench_kg_sf(spark, sf_dir: str, aux: dict) -> None:
     aux["sf_triples"] = e._kg_triples(spark, sf_dir).count()
 
 
-def bench_mine_kg(spark, n_docs: int, aux: dict) -> None:
+def bench_mine_kg(spark, sf: float, aux: dict) -> None:
+    """Reference task1 analog: AMIE length<=3 mining + CWA confidence >= 0.1
+    on a deterministic synthetic KG (sf0.1 -> ~1M distinct triples, matching
+    the reference benchmark's yago2core scale). Capped-counting analog
+    (measures.confidences min_confidence) prunes hub-dominated body joins."""
+    from rdfrules_spark.corpus import synth_kg
     from rdfrules_spark.mining.amie import MiningParams, mine
-    from rdfrules_spark.mining.measures import cwa_confidence
-    from rdfrules_spark.pipeline import synth_pipeline
+    from rdfrules_spark.mining.measures import confidences
 
-    triples = synth_pipeline(spark, n_docs).triples.select("s", "p", "o").cache()
-    triples.count()
+    n = max(50_000, int(10_000_000 * sf))
+    triples = synth_kg(spark, n).distinct().cache()
+    aux["mine_kg_triples"] = triples.count()
     params = MiningParams(min_head_size=100, min_support=2, min_head_coverage=0.01)
     rules = mine(triples, params)
-    aux["mine_kg_rules"] = cwa_confidence(rules, triples).count()
+    aux["mine_kg_rules"] = confidences(
+        rules, triples, pca=False, min_confidence=0.1
+    ).count()
     triples.unpersist()
 
 
@@ -92,14 +101,14 @@ def bench_mine_yago(spark, aux: dict) -> bool:
     if not os.path.exists(YAGO):
         return False
     from rdfrules_spark.mining.amie import MiningParams, mine
-    from rdfrules_spark.mining.measures import cwa_confidence, pca_confidence
+    from rdfrules_spark.mining.measures import confidences
     from rdfrules_spark.sources.tsv import read_tsv
 
     t = read_tsv(spark, YAGO).select("s", "p", "o").distinct().cache()
     t.count()
     rules = mine(t, MiningParams()).cache()
     aux["yago_rules"] = rules.count()  # 124 (AmieSpec.scala:45-50)
-    aux["yago_rules_cwa_pca"] = pca_confidence(cwa_confidence(rules, t), t).count()
+    aux["yago_rules_cwa_pca"] = confidences(rules, t).count()
     rules.unpersist()
     t.unpersist()
     return True
@@ -156,7 +165,7 @@ def run_bench(sf_dir: str, only: set[str] | None = None) -> dict:
 
     timed("kg_synth_pipeline", bench_kg_synth, spark, n_docs, aux)
     timed("kg_sf_documents", bench_kg_sf, spark, sf_dir, aux)
-    timed("mine_kg_l3", bench_mine_kg, spark, n_docs, aux)
+    timed("mine_kg_l3", bench_mine_kg, spark, sf, aux)
     timed("mine_yago", bench_mine_yago, spark, aux)
     timed("minhash_lsh", bench_minhash, spark, sf_dir, aux)
     timed("cosine_topk", bench_cosine, spark, sf_dir, aux)

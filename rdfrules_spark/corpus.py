@@ -241,3 +241,102 @@ def derive_documents(docs: DataFrame, sentence_tokens: int = 9) -> DataFrame:
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans")
     )
+
+
+# --------------------------------------------------------------------------
+# Direct synthetic KG (mining benchmark input — the analog of the
+# reference's yago2core ~1M-triple benchmark dataset, experiments/README.md:53)
+# --------------------------------------------------------------------------
+
+_SM1 = np.uint64(0x9E3779B97F4A7C15)
+_SM2 = np.uint64(0xBF58476D1CE4E5B9)
+_SM3 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — vectorized counter-based hashing, so the
+    generated KG is identical under ANY partitioning of the id range."""
+    with np.errstate(over="ignore"):
+        x = (x + _SM1).astype(np.uint64)
+        x ^= x >> np.uint64(30)
+        x *= _SM2
+        x ^= x >> np.uint64(27)
+        x *= _SM3
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def _u01(ids: np.ndarray, stream: int, seed: int) -> np.ndarray:
+    h = _mix64(
+        ids.astype(np.uint64)
+        * np.uint64(1_000_003) + np.uint64(stream * 7_919 + seed)
+    )
+    return h.astype(np.float64) / 18_446_744_073_709_551_616.0
+
+
+def synth_kg(
+    spark: SparkSession,
+    n_triples: int,
+    n_entities: int | None = None,
+    n_predicates: int = 40,
+    entity_zipf: float = 0.5,
+    predicate_zipf: float = 1.1,
+    copy_frac: float = 0.3,
+    seed: int = SEED,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic (s, p, o) string-triple generator with tunable skew
+    and REAL rule structure.
+
+    entity_zipf defaults to 0.5 (mild, yago-like hub structure); the corpus
+    pipeline's Zipf-1.1 entities are deliberately harsher (they exercise the
+    skew handling of CC/extraction), which makes exact rule mining
+    quadratic in hub degree — mining benchmarks use this generator instead.
+
+    ``copy_frac`` of the rows restate a *donor* triple (donor id = hash of
+    own id; a pure function, so still partitioning-independent) under a
+    partner predicate: same-direction partner ``p^1`` for even/odd pairs, or
+    the inverse partner ``(p+2) % n_predicates`` with (s,o) swapped. This
+    plants mineable rules (?a p1 ?b) <= (?a p0 ?b) and (?a p2 ?b) <=
+    (?b p0 ?a) whose support/confidence scale with copy_frac.
+    """
+    n_ent = n_entities or max(1000, n_triples // 10)
+    if partitions is None:
+        partitions = max(4, min(64, n_triples // 50_000 or 4))
+
+    def gen(batches):
+        import pandas as pd
+
+        w_e = 1.0 / np.power(np.arange(1, n_ent + 1, dtype=np.float64),
+                             entity_zipf)
+        ent_cdf = np.cumsum(w_e / w_e.sum())
+        w_p = 1.0 / np.power(np.arange(1, n_predicates + 1, dtype=np.float64),
+                             predicate_zipf)
+        pred_cdf = np.cumsum(w_p / w_p.sum())
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            is_copy = _u01(ids, 3, seed) < copy_frac
+            donor = (_mix64(ids.astype(np.uint64) + np.uint64(seed))
+                     % np.uint64(n_triples)).astype(np.int64)
+            src = np.where(is_copy, donor, ids)
+            s = np.searchsorted(ent_cdf, _u01(src, 0, seed), side="right")
+            p = np.searchsorted(pred_cdf, _u01(src, 1, seed), side="right")
+            o = np.searchsorted(ent_cdf, _u01(src, 2, seed), side="right")
+            inverse = is_copy & (_u01(ids, 4, seed) < 0.5)
+            samedir = is_copy & ~inverse
+            p = np.where(samedir, p ^ 1, p)
+            p = np.where(inverse, (p + 2) % n_predicates, p)
+            s2 = np.where(inverse, o, s)
+            o2 = np.where(inverse, s, o)
+            yield pd.DataFrame(
+                {
+                    "s": [f"e{v}" for v in s2],
+                    "p": [f"p{v}" for v in p],
+                    "o": [f"e{v}" for v in o2],
+                }
+            )
+
+    return (
+        spark.range(0, n_triples, numPartitions=partitions)
+        .mapInPandas(gen, schema="s string, p string, o string")
+    )

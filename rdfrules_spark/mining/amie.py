@@ -197,9 +197,6 @@ def mine(triples: DataFrame, params: MiningParams | None = None) -> DataFrame:
     if params.top_k:
         # reference TopKRuleConsumer: k best by HC; ties beyond k overflow
         # (allowOverflowIfSameHeadCoverage) — keep all rules with HC >= kth
-        from pyspark.sql import Window
-
-        w = Window.orderBy(F.desc("head_coverage"))
         kth = (
             rules.select("head_coverage")
             .orderBy(F.desc("head_coverage"))

@@ -13,6 +13,17 @@ counting at support/minConf+1 (perf trick, RuleCounting.scala:79-83); we
 compute exact counts but only for the rules that survived mining — the
 body-pair joins are semi-filtered by the surviving (q,d1,r,d2) combos, so
 the heavy path join never runs for pruned rules.
+
+Join discipline: every rule-key join goes through _combo_join, which renames
+the right side's key columns before the null-safe equi-join. Joining two
+DataFrames that share rule-table lineage on `left[k] == right[k]` silently
+degenerates (Spark resolves both sides to one attribute -> trivially-true
+predicate -> broadcast nested loop); the rename keeps the attributes
+distinct so Catalyst plans a proper hash join.
+
+`confidences()` computes CWA + PCA in ONE pass: body pairs per shape are
+materialized once (cached) and both sizes are derived from them — halves
+the dominant path-join cost vs calling the two functions separately.
 """
 
 from __future__ import annotations
@@ -22,16 +33,35 @@ from pyspark.sql import functions as F
 
 from rdfrules_spark.mining.amie import _b
 
+COMBO = ["q", "d1", "r", "d2"]
+
+
+def _combo_join(
+    left: DataFrame, right: DataFrame, keys: list[str],
+    how: str = "inner", broadcast_right: bool = False,
+) -> DataFrame:
+    """Null-safe equi-join with the right side's keys renamed first (see
+    module docstring)."""
+    ren = right
+    for k in keys:
+        ren = ren.withColumnRenamed(k, "_" + k)
+    if broadcast_right:
+        ren = F.broadcast(ren)
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col("_" + k))
+        cond = c if cond is None else cond & c
+    return left.join(ren, cond, how).drop(*["_" + k for k in keys])
+
 
 def body_pairs(triples: DataFrame, rules: DataFrame, shape: str) -> DataFrame:
     """Distinct (?a,?b) body bindings per surviving rule combo of a shape."""
     b = _b(triples)
-    combos = rules.where(F.col("shape") == shape).select(
-        "q", "d1", "r", "d2"
-    ).distinct()
+    combos = rules.where(F.col("shape") == shape).select(*COMBO).distinct()
     if shape == "l2":
-        bb = b.withColumnRenamed("d", "d1").join(
-            F.broadcast(combos.select("q", "d1")), ["q", "d1"]
+        bb = _combo_join(
+            b.withColumnRenamed("d", "d1"),
+            combos.select("q", "d1"), ["q", "d1"], broadcast_right=True,
         )
         return bb.select(
             "q", "d1", F.lit(None).cast("long").alias("r"),
@@ -39,105 +69,213 @@ def body_pairs(triples: DataFrame, rules: DataFrame, shape: str) -> DataFrame:
             F.col("x").alias("a"), F.col("y").alias("b"),
         ).distinct()
     if shape == "l3v2":
-        b1 = b.select(F.col("x").alias("a"), F.col("y").alias("b"),
-                      F.col("q"), F.col("d").alias("d1"))
-        b2 = b.select(F.col("x").alias("a"), F.col("y").alias("b"),
-                      F.col("q").alias("r"), F.col("d").alias("d2"))
-        j = b1.join(b2, ["a", "b"]).join(F.broadcast(combos), ["q", "d1", "r", "d2"])
-        return j.select("q", "d1", "r", "d2", "a", "b").distinct()
+        b1 = _combo_join(
+            b.select(F.col("x").alias("a"), F.col("y").alias("b"),
+                     "q", F.col("d").alias("d1")),
+            combos.select("q", "d1").distinct(), ["q", "d1"],
+            broadcast_right=True,
+        )
+        b2 = _combo_join(
+            b.select(F.col("x").alias("a"), F.col("y").alias("b"),
+                     F.col("q").alias("r"), F.col("d").alias("d2")),
+            combos.select("r", "d2").distinct(), ["r", "d2"],
+            broadcast_right=True,
+        )
+        j = _combo_join(b1.join(b2, ["a", "b"]), combos, COMBO,
+                        broadcast_right=True)
+        return j.select(*COMBO, "a", "b").distinct()
     if shape == "l3v3":
-        b1 = b.select(F.col("x").alias("a"), F.col("y").alias("c"),
-                      F.col("q"), F.col("d").alias("d1"))
-        b2 = b.select(F.col("x").alias("b"), F.col("y").alias("c"),
-                      F.col("q").alias("r"), F.col("d").alias("d2"))
-        b1 = b1.join(F.broadcast(combos.select("q", "d1").distinct()), ["q", "d1"])
-        b2 = b2.join(F.broadcast(combos.select("r", "d2").distinct()), ["r", "d2"])
-        j = b1.join(b2, "c").join(F.broadcast(combos), ["q", "d1", "r", "d2"])
-        return j.select("q", "d1", "r", "d2", "a", "b").distinct()
+        b1 = _combo_join(
+            b.select(F.col("x").alias("a"), F.col("y").alias("c"),
+                     "q", F.col("d").alias("d1")),
+            combos.select("q", "d1").distinct(), ["q", "d1"],
+            broadcast_right=True,
+        )
+        b2 = _combo_join(
+            b.select(F.col("x").alias("b"), F.col("y").alias("c"),
+                     F.col("q").alias("r"), F.col("d").alias("d2")),
+            combos.select("r", "d2").distinct(), ["r", "d2"],
+            broadcast_right=True,
+        )
+        j = _combo_join(b1.join(b2, "c"), combos, COMBO, broadcast_right=True)
+        return j.select(*COMBO, "a", "b").distinct()
     raise ValueError(shape)
 
 
-def _with_body_size(rules: DataFrame, pairs: DataFrame, out_col: str) -> DataFrame:
-    sizes = pairs.groupBy("q", "d1", "r", "d2").agg(
-        F.count(F.lit(1)).alias(out_col)
+def _head_side(triples: DataFrame) -> DataFrame:
+    """higherCardinalitySide per predicate (TripleIndex.scala:155-169)."""
+    return triples.groupBy("p").agg(
+        F.countDistinct("s").alias("ns"), F.countDistinct("o").alias("no")
+    ).select(
+        "p",
+        F.when(F.col("ns") >= F.col("no"), "subject").otherwise("object")
+        .alias("side"),
     )
-    return rules.join(
-        sizes,
-        (rules["q"].eqNullSafe(sizes["q"]))
-        & (rules["d1"].eqNullSafe(sizes["d1"]))
-        & (rules["r"].eqNullSafe(sizes["r"]))
-        & (rules["d2"].eqNullSafe(sizes["d2"])),
-        "left",
-    ).drop(sizes["q"]).drop(sizes["d1"]).drop(sizes["r"]).drop(sizes["d2"])
+
+
+def _pca_sizes(
+    pairs: DataFrame, shaped: DataFrame, triples: DataFrame, side: DataFrame
+) -> DataFrame:
+    """pca_body_size per (p, combo): expand pairs to the combo's head
+    predicates (tiny broadcast), keep pairs whose head entity on the
+    higherCardinalitySide exists for p, count."""
+    combo_heads = shaped.select("p", *COMBO).join(F.broadcast(side), "p")
+    expanded = _combo_join(pairs, combo_heads, COMBO, broadcast_right=True)
+    subs = triples.select("p", F.col("s").alias("a")).distinct()
+    objs = triples.select("p", F.col("o").alias("b")).distinct()
+    sub_side = expanded.where(F.col("side") == "subject").join(
+        subs, ["p", "a"], "left_semi"
+    )
+    obj_side = expanded.where(F.col("side") == "object").join(
+        objs, ["p", "b"], "left_semi"
+    )
+    return (
+        sub_side.unionByName(obj_side)
+        .groupBy("p", *COMBO)
+        .agg(F.count(F.lit(1)).alias("pca_body_size"))
+    )
+
+
+def _l3v3_lower_bounds(triples: DataFrame, combos: DataFrame) -> DataFrame:
+    """Cheap per-combo lower bound on the l3v3 body size, WITHOUT the path
+    join: for any shared-var value c, the pairs A_c x B_c are all distinct,
+    so bodySize >= max_c |A_c| * |B_c|. Built from two degree tables (one
+    groupBy each) — O(|triples|), never O(sum deg^2)."""
+    b = _b(triples)
+    d1 = b.groupBy(F.col("q"), F.col("d").alias("d1"), F.col("y").alias("c")).agg(
+        F.count(F.lit(1)).alias("n1")
+    )
+    d2 = b.groupBy(
+        F.col("q").alias("r"), F.col("d").alias("d2"), F.col("y").alias("c")
+    ).agg(F.count(F.lit(1)).alias("n2"))
+    prod = (
+        _combo_join(d1, F.broadcast(combos.select("q", "d1").distinct()),
+                    ["q", "d1"])
+        .join(
+            _combo_join(d2, F.broadcast(combos.select("r", "d2").distinct()),
+                        ["r", "d2"]),
+            "c",
+        )
+        .groupBy("q", "d1", "r", "d2")
+        .agg(F.max(F.col("n1") * F.col("n2")).alias("lb_body_size"))
+    )
+    return _combo_join(combos, prod, COMBO, "left")
+
+
+def confidences(
+    rules: DataFrame,
+    triples: DataFrame,
+    cwa: bool = True,
+    pca: bool = True,
+    min_confidence: float = 0.0,
+) -> DataFrame:
+    """Attach body_size/cwa_confidence and/or pca_body_size/pca_confidence.
+
+    One pass: per shape the body-pair relation is computed once (cached) and
+    both measures read it.
+
+    ``min_confidence > 0`` (requires ``cwa``) is the distributed analog of
+    the reference's capped counting (RuleCounting.scala:79-83: stop counting
+    bodySize past support/minConf+1 and discard the rule). Exact counting
+    with per-group early exit is inexpressible in Spark aggregations, so we
+    prune with a PROVABLE lower bound instead: an l3v3 rule whose
+    lb_body_size already exceeds support/min_confidence can never reach the
+    threshold and is dropped before the quadratic path join runs — on
+    Zipf-skewed KGs this removes exactly the hub-dominated combos whose
+    sum-of-deg^2 join would explode. Surviving rules get EXACT counts, and
+    the result is filtered to cwa_confidence >= min_confidence — the same
+    final ruleset as Ruleset.computeConfidence(min) in the reference.
+    """
+    if min_confidence > 0.0 and not cwa:
+        raise ValueError("min_confidence pruning requires cwa=True")
+    side = _head_side(triples) if pca else None
+    out = None
+    for shape in ("l2", "l3v2", "l3v3"):
+        shaped = rules.where(F.col("shape") == shape)
+        if shape == "l3v3" and min_confidence > 0.0:
+            combos = shaped.select(*COMBO).distinct()
+            lbs = _l3v3_lower_bounds(triples, combos)
+            shaped = _combo_join(shaped, lbs, COMBO, "left").where(
+                F.coalesce(F.col("lb_body_size"), F.lit(0))
+                <= F.col("support") / min_confidence
+            ).drop("lb_body_size")
+            shaped = shaped.localCheckpoint(eager=True)
+        pairs = body_pairs(triples, shaped, shape)
+        if cwa and pca:
+            # eager: both measure branches read pairs; a lazy cache lets the
+            # union's branches race and compute the path join twice
+            pairs = pairs.localCheckpoint(eager=True)
+        withsize = shaped
+        if cwa:
+            # the size aggregates are tiny (one row per surviving combo);
+            # eager-checkpointing them keeps the heavy pair joins out of the
+            # final plan so downstream actions never recompute them
+            sizes = pairs.groupBy(*COMBO).agg(
+                F.count(F.lit(1)).alias("body_size")
+            ).localCheckpoint(eager=True)
+            withsize = _combo_join(withsize, sizes, COMBO, "left")
+        if pca:
+            psizes = _pca_sizes(pairs, shaped, triples, side).localCheckpoint(
+                eager=True
+            )
+            withsize = _combo_join(withsize, psizes, ["p", *COMBO], "left")
+        out = withsize if out is None else out.unionByName(withsize)
+    if cwa:
+        out = out.withColumn(
+            "cwa_confidence", F.col("support") / F.col("body_size")
+        )
+        if min_confidence > 0.0:
+            out = out.where(F.col("cwa_confidence") >= min_confidence)
+    if pca:
+        out = out.withColumn(
+            "pca_confidence", F.col("support") / F.col("pca_body_size")
+        )
+    return out
 
 
 def cwa_confidence(rules: DataFrame, triples: DataFrame) -> DataFrame:
     """Attach body_size + cwa_confidence to every rule."""
-    out = None
-    for shape in ("l2", "l3v2", "l3v3"):
-        shaped = rules.where(F.col("shape") == shape)
-        pairs = body_pairs(triples, shaped, shape)
-        withsize = _with_body_size(shaped, pairs, "body_size")
-        out = withsize if out is None else out.unionByName(withsize)
-    return out.withColumn(
-        "cwa_confidence", F.col("support") / F.col("body_size")
-    )
+    return confidences(rules, triples, cwa=True, pca=False)
 
 
 def pca_confidence(rules: DataFrame, triples: DataFrame) -> DataFrame:
-    """Attach pca_body_size + pca_confidence. Needs rules x body pairs per
-    head predicate: the existential check keys on the head predicate's
-    higherCardinalitySide entity."""
-    stats = triples.groupBy("p").agg(
-        F.countDistinct("s").alias("ns"), F.countDistinct("o").alias("no")
-    ).select(
-        "p",
-        F.when(F.col("ns") >= F.col("no"), "subject").otherwise("object").alias(
-            "side"
-        ),
-    )
-    subs = triples.select("p", F.col("s").alias("e")).distinct()
-    objs = triples.select("p", F.col("o").alias("e")).distinct()
+    """Attach pca_body_size + pca_confidence to every rule."""
+    return confidences(rules, triples, cwa=False, pca=True)
 
-    out = None
-    for shape in ("l2", "l3v2", "l3v3"):
-        shaped = rules.where(F.col("shape") == shape)
-        pairs = body_pairs(triples, shaped, shape)
-        # expand pairs per head predicate of surviving rules of this combo
-        # (null-safe: r/d2 are null for l2)
-        lhs = shaped.select("p", "q", "d1", "r", "d2")
-        keyed = lhs.join(
-            pairs.withColumnsRenamed(
-                {"q": "_q", "d1": "_d1", "r": "_r", "d2": "_d2"}
-            ),
-            lhs["q"].eqNullSafe(F.col("_q"))
-            & lhs["d1"].eqNullSafe(F.col("_d1"))
-            & lhs["r"].eqNullSafe(F.col("_r"))
-            & lhs["d2"].eqNullSafe(F.col("_d2")),
-        ).drop("_q", "_d1", "_r", "_d2").join(F.broadcast(stats), "p")
-        sub_side = keyed.where(F.col("side") == "subject").join(
-            subs.withColumnRenamed("e", "a"), ["p", "a"], "left_semi"
+
+def lift(
+    rules: DataFrame, triples: DataFrame, conf_col: str = "cwa_confidence"
+) -> DataFrame:
+    """Attach mode_probability + lift = confidence / modeProbability
+    (RuleCounting.scala:127-141; modeProbability per
+    core:index/TripleIndex.scala:114-117: the lowerCardinalitySide's most
+    frequent entity's non-reflexive fact count / non-reflexive size).
+    Variable-only heads (this tier); constant heads use per-constant
+    probabilities in the reference."""
+    nonrefl = triples.where(F.col("s") != F.col("o"))
+    card = triples.groupBy("p").agg(
+        F.countDistinct("s").alias("ns"), F.countDistinct("o").alias("no")
+    )
+    smode = (
+        nonrefl.groupBy("p", "s").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("p").agg(F.max("c").alias("smode"))
+    )
+    omode = (
+        nonrefl.groupBy("p", "o").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("p").agg(F.max("c").alias("omode"))
+    )
+    size_nr = nonrefl.groupBy("p").agg(F.count(F.lit(1)).alias("size_nr"))
+    mp = (
+        card.join(smode, "p", "left").join(omode, "p", "left")
+        .join(size_nr, "p", "left")
+        .select(
+            "p",
+            (
+                F.when(F.col("ns") <= F.col("no"), F.col("smode"))
+                .otherwise(F.col("omode")) / F.col("size_nr")
+            ).alias("mode_probability"),
         )
-        obj_side = keyed.where(F.col("side") == "object").join(
-            objs.withColumnRenamed("e", "b"), ["p", "b"], "left_semi"
-        )
-        sizes = (
-            sub_side.unionByName(obj_side)
-            .groupBy("p", "q", "d1", "r", "d2")
-            .agg(F.count(F.lit(1)).alias("pca_body_size"))
-        )
-        withsize = shaped.join(
-            sizes,
-            (shaped["p"] == sizes["p"])
-            & shaped["q"].eqNullSafe(sizes["q"])
-            & shaped["d1"].eqNullSafe(sizes["d1"])
-            & shaped["r"].eqNullSafe(sizes["r"])
-            & shaped["d2"].eqNullSafe(sizes["d2"]),
-            "left",
-        ).drop(sizes["p"]).drop(sizes["q"]).drop(sizes["d1"]).drop(sizes["r"]).drop(
-            sizes["d2"]
-        )
-        out = withsize if out is None else out.unionByName(withsize)
-    return out.withColumn(
-        "pca_confidence", F.col("support") / F.col("pca_body_size")
+    )
+    return rules.join(F.broadcast(mp), "p", "left").withColumn(
+        "lift", F.col(conf_col) / F.col("mode_probability")
     )

@@ -1196,3 +1196,264 @@ def q_mine_l2_cwa_confidence(spark, sf_dir):
         "p", "q", "d1", "head_size", "support", "head_coverage",
         "body_size", "cwa_confidence",
     )
+
+
+# --------------------------------------------------------------------------
+# Prediction + evaluation (reference core:prediction/) and ruleset
+# post-processing (core:ruleset/Ruleset.scala)
+# --------------------------------------------------------------------------
+
+# L2 ruleset with CWA confidence, tight thresholds (bounds prediction size)
+_L2_CONF_SQL = f"""
+    {_MINE_BASE_SQL},
+    agg as (select t.p, b.q, b.d as d1, count(*) as support
+            from t join b on t.s = b.x and t.o = b.y
+            where b.q <> t.p or b.d <> 'f'
+            group by t.p, b.q, b.d),
+    rules as (select agg.p, agg.q, agg.d1, heads.head_size, agg.support,
+                     agg.support / heads.head_size as head_coverage
+              from agg join heads on agg.p = heads.p
+              where agg.support >= 5
+                and agg.support / heads.head_size >= 0.1),
+    bsize as (select p as q, count(*) as body_size from t group by p),
+    rconf as (select r.*, bsize.body_size,
+                     r.support / bsize.body_size as conf
+              from rules r join bsize using (q)),
+    side as (select p, case when count(distinct s) >= count(distinct o)
+                            then 'subject' else 'object' end as hc_side
+             from t group by p),
+    preds as (select r.p, b.x as s, b.y as o, r.q, r.d1, r.conf
+              from rconf r join b on b.q = r.q and b.d = r.d1),
+    tagged as (
+      select pr.p, pr.s, pr.o, pr.q, pr.d1, pr.conf,
+             case when k.s is not null then 'Positive'
+                  when sd.hc_side = 'subject' and su.e is null then 'PcaPositive'
+                  when sd.hc_side = 'object' and ob.e is null then 'PcaPositive'
+                  else 'Negative' end as result
+      from preds pr
+      join side sd on sd.p = pr.p
+      left join (select distinct s, p, o from t) k
+        on k.s = pr.s and k.p = pr.p and k.o = pr.o
+      left join (select distinct p, s as e from t) su
+        on su.p = pr.p and su.e = pr.s
+      left join (select distinct p, o as e from t) ob
+        on ob.p = pr.p and ob.e = pr.o)
+"""
+
+_L2_PARAMS = dict(min_head_size=50, min_support=5, min_head_coverage=0.1,
+                  max_rule_length=2)
+
+
+def _l2_rules_conf(spark, sf_dir):
+    from rdfrules_spark.mining.amie import MiningParams, head_sizes, mine_l2
+    from rdfrules_spark.mining.measures import cwa_confidence
+
+    t = _kg_triples_df(spark, sf_dir)
+    params = MiningParams(**_L2_PARAMS)
+    heads = head_sizes(t, params)
+    return t, cwa_confidence(mine_l2(t, heads, params), t)
+
+
+@register(
+    "predict_l2_tagged",
+    f"""
+    with {_L2_CONF_SQL}
+    select p, result, count(*) as n, count(distinct (s, o)) as n_pairs
+    from tagged group by p, result
+    """,
+)
+def q_predict_l2_tagged(spark, sf_dir):
+    """Rule-driven prediction with Positive/PcaPositive/Negative tagging
+    (reference core:prediction/Instantiation.scala:37-53)."""
+    from rdfrules_spark.prediction import predict_triples
+
+    t, rules = _l2_rules_conf(spark, sf_dir)
+    preds = predict_triples(rules, t)
+    return preds.groupBy("p", "result").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("s", "o").alias("n_pairs"),
+    )
+
+
+@register(
+    "cba_prune_l2",
+    f"""
+    with {_L2_CONF_SQL},
+    pri as (select p, q, d1,
+                   row_number() over (
+                     order by conf desc, head_coverage desc, support desc,
+                              concat(p, '|l2|', q, '|', d1, '|-|-')) as pri
+            from rconf),
+    ranked as (select pr.p, pr.q, pr.d1,
+                      row_number() over (
+                        partition by pr.s, pr.p, pr.o order by pi.pri) as rk
+               from tagged pr
+               join pri pi on pi.p = pr.p and pi.q = pr.q and pi.d1 = pr.d1
+               where pr.result = 'Positive')
+    select distinct p, q, d1 from ranked where rk = 1
+    """,
+)
+def q_cba_prune_l2(spark, sf_dir):
+    """CBA data-coverage pruning (Ruleset.scala:123-149): keep rules that
+    cover >= 1 new existing triple in priority order."""
+    from rdfrules_spark.prediction import predict_triples
+    from rdfrules_spark.ruleset import cba_prune
+
+    t, rules = _l2_rules_conf(spark, sf_dir)
+    preds = predict_triples(rules, t)
+    return cba_prune(preds, rules).select("p", "q", "d1")
+
+
+@register(
+    "rank_eval_l2",
+    f"""
+    with {_KG_W_SQL},
+    allt as (select distinct concat('w:', s_surf) as s, p,
+                    concat('w:', o_surf) as o
+             from w where p <> 'dup'),
+    t as (select * from allt
+          where {h60_sql("concat(s, '|', p, '|', o)")} % 10 <> 0),
+    test as (select * from allt
+             where {h60_sql("concat(s, '|', p, '|', o)")} % 10 = 0),
+    heads as (select p, count(*) as head_size from t group by p
+              having count(*) >= 50),
+    b as (select s as x, o as y, p as q, 'f' as d from t
+          union all
+          select o as x, s as y, p as q, 'i' as d from t),
+    agg as (select t.p, b.q, b.d as d1, count(*) as support
+            from t join b on t.s = b.x and t.o = b.y
+            where b.q <> t.p or b.d <> 'f'
+            group by t.p, b.q, b.d),
+    rules as (select agg.p, agg.q, agg.d1, heads.head_size, agg.support
+              from agg join heads on agg.p = heads.p
+              where agg.support >= 5
+                and agg.support / heads.head_size >= 0.1),
+    bsize as (select p as q, count(*) as body_size from t group by p),
+    rconf as (select r.*, r.support / bsize.body_size as conf
+              from rules r join bsize using (q)),
+    preds as (select r.p, b.x as s, b.y as o, max(r.conf) as max_score
+              from rconf r join b on b.q = r.q and b.d = r.d1
+              group by r.p, b.x, b.y),
+    pside as (select p, case when count(distinct s) < count(distinct o)
+                             then 'subject' else 'object' end as predict_side
+              from t group by p),
+    tasks as (select pr.p, sd.predict_side,
+                     case when sd.predict_side = 'subject' then pr.o
+                          else pr.s end as fixed_entity,
+                     case when sd.predict_side = 'subject' then pr.s
+                          else pr.o end as candidate,
+                     pr.max_score as score
+              from preds pr join pside sd on sd.p = pr.p),
+    ranked as (select *, row_number() over (
+                 partition by p, predict_side, fixed_entity
+                 order by score desc, candidate asc) as rank
+               from tasks),
+    topk as (select * from ranked where rank <= 10),
+    sides as (select distinct p, predict_side from topk),
+    truth as (select te.p, sd.predict_side,
+                     case when sd.predict_side = 'subject' then te.o
+                          else te.s end as fixed_entity,
+                     case when sd.predict_side = 'subject' then te.s
+                          else te.o end as candidate
+              from test te join sides sd on sd.p = te.p),
+    j as (select tr.*, tk.rank
+          from truth tr
+          left join topk tk
+            on tk.p = tr.p and tk.predict_side = tr.predict_side
+           and tk.fixed_entity = tr.fixed_entity
+           and tk.candidate = tr.candidate)
+    select count(*) as n_tasks,
+           round(avg(coalesce(1.0 / rank, 0.0)), 6) as mrr,
+           round(avg(cast(rank as double)), 6) as mr_found,
+           round(avg(case when rank <= 1 then 1.0 else 0.0 end), 6) as hits_1,
+           round(avg(case when rank <= 3 then 1.0 else 0.0 end), 6) as hits_3,
+           round(avg(case when rank <= 10 then 1.0 else 0.0 end), 6) as hits_10
+    from j
+    """,
+)
+def q_rank_eval_l2(spark, sf_dir):
+    """End-to-end KGC ranking evaluation: deterministic 90/10 train/test
+    split -> L2 mining + CWA confidence on train -> max-score candidate
+    ranking -> hits@k/MR/MRR vs the held-out triples
+    (eval/RankingEvaluationBuilder.scala:6-64)."""
+    from rdfrules_spark.functions.hashing import h60
+    from rdfrules_spark.mining.amie import MiningParams, head_sizes, mine_l2
+    from rdfrules_spark.mining.measures import cwa_confidence
+    from rdfrules_spark.prediction import (
+        evaluate_ranking,
+        predict_triples,
+        prediction_tasks,
+        score_predictions,
+    )
+
+    allt = _kg_triples_df(spark, sf_dir)
+    bucket = h60(F.concat_ws("|", "s", "p", "o")) % 10
+    train = allt.where(bucket != 0)
+    test = allt.where(bucket == 0)
+    params = MiningParams(**_L2_PARAMS)
+    heads = head_sizes(train, params)
+    rules = cwa_confidence(mine_l2(train, heads, params), train)
+    scored = score_predictions(predict_triples(rules, train))
+    ranked = prediction_tasks(scored, train, top_k=10, score_col="max_score")
+    out = evaluate_ranking(ranked, test, ks=(1, 3, 10))
+    return out.select(
+        "n_tasks",
+        F.round("mrr", 6).alias("mrr"),
+        F.round("mr_found", 6).alias("mr_found"),
+        F.round("hits_1", 6).alias("hits_1"),
+        F.round("hits_3", 6).alias("hits_3"),
+        F.round("hits_10", 6).alias("hits_10"),
+    )
+
+
+@register("rule_dbscan_clusters")
+def q_rule_dbscan_clusters(spark, sf_dir):
+    """DBSCAN rule clustering (DbScan.scala:10-57) — rows-only check
+    (transitive closure; not reasonably SQL-expressible in one query)."""
+    from rdfrules_spark.mining.amie import MiningParams, mine
+    from rdfrules_spark.ruleset import dbscan_clusters
+
+    t = _kg_triples_df(spark, sf_dir)
+    params = MiningParams(min_head_size=50, min_support=2,
+                          min_head_coverage=0.05)
+    rules = mine(t, params)
+    out = dbscan_clusters(rules, min_similarity=0.6, min_neighbours=2)
+    return out.groupBy("p").agg(
+        F.countDistinct("cluster").alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_rules"),
+    )
+
+
+@register(
+    "lift_l2",
+    f"""
+    with {_L2_CONF_SQL},
+    nonrefl as (select * from t where s <> o),
+    card as (select p, count(distinct s) as ns, count(distinct o) as no
+             from t group by p),
+    smode as (select p, max(c) as smode from
+              (select p, s, count(*) as c from nonrefl group by p, s)
+              group by p),
+    omode as (select p, max(c) as omode from
+              (select p, o, count(*) as c from nonrefl group by p, o)
+              group by p),
+    sz as (select p, count(*) as size_nr from nonrefl group by p),
+    mp as (select card.p,
+                  (case when ns <= no then smode else omode end)
+                  / size_nr as mode_probability
+           from card join smode using (p) join omode using (p)
+           join sz using (p))
+    select r.p, r.q, r.d1, r.support, mp.mode_probability,
+           r.conf / mp.mode_probability as lift
+    from rconf r join mp on mp.p = r.p
+    """,
+)
+def q_lift_l2(spark, sf_dir):
+    """Lift measure (RuleCounting.scala:127-141)."""
+    from rdfrules_spark.mining.measures import lift
+
+    t, rules = _l2_rules_conf(spark, sf_dir)
+    return lift(rules, t).select(
+        "p", "q", "d1", "support", "mode_probability",
+        F.col("lift").alias("lift"),
+    )

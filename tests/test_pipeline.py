@@ -148,3 +148,22 @@ def test_flagship_query(spark, pipe):
     rows = flagship_query(pipe).collect()
     assert len(rows) > 0
     assert rows[0]["n_triples"] >= rows[-1]["n_triples"]
+
+
+def test_synth_kg_deterministic_with_planted_rules(spark):
+    from rdfrules_spark.corpus import synth_kg
+    from rdfrules_spark.mining.amie import MiningParams, mine
+
+    a = synth_kg(spark, 20_000, partitions=3)
+    b = synth_kg(spark, 20_000, partitions=17)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    t = a.distinct().cache()
+    rules = mine(
+        t, MiningParams(min_head_size=100, min_support=2, min_head_coverage=0.05)
+    )
+    # planted structure: same-direction partner rules (p odd <- p even, d1=f)
+    got = {(r.p, r.q, r.d1) for r in rules.where("shape = 'l2'").collect()}
+    assert any(d == "f" and int(p[1:]) ^ 1 == int(q[1:]) for p, q, d in got)
+    # and inverse partner rules (d1='i')
+    assert any(d == "i" for _, _, d in got)
+    t.unpersist()

@@ -107,3 +107,22 @@ def test_cwa_confidence_7(yago):
     rules = mine(yago, MiningParams(**BASE, with_duplicate_predicates=False))
     cwa = cwa_confidence(rules, yago)
     assert cwa.where("cwa_confidence >= 0.2").count() == 7
+
+
+def test_min_confidence_pruning_exact_parity(yago):
+    # capped-counting analog (measures.confidences min_confidence) must give
+    # the SAME final ruleset as exact counting + post-filter
+    from rdfrules_spark.mining.measures import confidences
+
+    rules = mine(yago, MiningParams(**BASE, with_duplicate_predicates=False))
+    exact = confidences(rules, yago, pca=False)
+    pruned = confidences(rules, yago, pca=False, min_confidence=0.2)
+    exact_set = {
+        (r.p, r.shape, r.q, r.d1, r.r, r.d2, r.body_size)
+        for r in exact.where("cwa_confidence >= 0.2").collect()
+    }
+    pruned_set = {
+        (r.p, r.shape, r.q, r.d1, r.r, r.d2, r.body_size)
+        for r in pruned.collect()
+    }
+    assert pruned_set == exact_set and len(pruned_set) == 7
