@@ -144,13 +144,14 @@ def bench_cosine(spark, sf_dir: str, aux: dict) -> None:
     aux["cosine_rows"] = cosine_topk(emb, qs, k=10).count()
 
 
-def run_bench(sf_dir: str, only: set[str] | None = None) -> dict:
+def run_bench(sf_dir: str, only: set[str] | None = None,
+              n_docs_override: int | None = None) -> dict:
     from rdfrules_spark.session import get_spark
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("rdfrules-bench", master=f"local[{cpus}]")
     sf = sf_of(sf_dir)
-    n_docs = n_docs_for(sf)
+    n_docs = n_docs_override or n_docs_for(sf)
     aux: dict = {}
     queries: dict[str, float] = {}
 
@@ -191,14 +192,20 @@ def run_bench(sf_dir: str, only: set[str] | None = None) -> dict:
     return out
 
 
-def run_scaling(sf_dir: str, n_low: int = 8) -> dict:
-    """Same job, two parallelism levels, in fresh subprocesses."""
+def run_scaling(sf_dir: str, n_low: int = 8, n_docs: int | None = None) -> dict:
+    """Same job, two parallelism levels, in fresh subprocesses.
+
+    The corpus is 4x the per-round bench size by default: the scaling
+    criterion measures throughput, so compute must dominate fixed per-stage
+    scheduling latency (~15 s of serial barriers at any parallelism)."""
+    n_docs = n_docs or 4 * n_docs_for(sf_of(sf_dir))
     results = {}
     for cpus in (n_low, n_low * 4):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
         env.pop("SPARK_GRAFT_MASTER", None)
         p = subprocess.run(
-            [sys.executable, __file__, sf_dir, "--only", "kg_synth_pipeline"],
+            [sys.executable, __file__, sf_dir, "--only", "kg_synth_pipeline",
+             "--docs", str(n_docs)],
             capture_output=True, text=True, env=env, cwd=os.path.dirname(__file__),
         )
         line = p.stdout.strip().splitlines()[-1]
@@ -233,8 +240,14 @@ def main() -> None:
         i = args.index("--only")
         only = set(args[i + 1].split(","))
         del args[i : i + 2]
+    n_docs = None
+    if "--docs" in args:
+        i = args.index("--docs")
+        n_docs = int(args[i + 1])
+        del args[i : i + 2]
     sf_dir = args[0] if args else os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR_DEFAULT)
-    out = run_scaling(sf_dir) if scaling else run_bench(sf_dir, only)
+    out = (run_scaling(sf_dir, n_docs=n_docs) if scaling
+           else run_bench(sf_dir, only, n_docs_override=n_docs))
     print(json.dumps(out))
 
 
