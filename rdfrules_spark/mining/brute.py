@@ -100,3 +100,198 @@ def mine_brute(
                 }
                 emit(p, "l3v3", q, d1, r, d2, support, body)
     return rules
+
+
+# --------------------------------------------------------------------------
+# Constants (instantiated-atom) mining oracle — reference semantics:
+# HeadsFetcher.scala:24-92 (instantiated heads keep headSize = |p|),
+# RuleRefinement instantiation of the dangling variable, closed = every
+# VARIABLE appears >= 2x, atoms within a rule pairwise distinct and != head.
+# --------------------------------------------------------------------------
+
+
+def _lower_side(subs_p: set, objs_p: set) -> str:
+    # TripleIndex.scala:155-159: ns >= no -> Object else Subject
+    return "o" if len(subs_p) >= len(objs_p) else "s"
+
+
+def _term_str(x) -> str:
+    return f"C={x[1]}" if isinstance(x, tuple) else x
+
+
+def _atom_str(a) -> str:
+    """Canonical atom string — identical to mining/constants.py encoding."""
+    return f"{_term_str(a[0])}|{a[1]}|{_term_str(a[2])}"
+
+
+def mine_brute_constants(
+    triples: list[tuple],
+    min_head_size: int = 100,
+    min_support: int = 1,
+    min_hc: float = 0.01,
+    max_len: int = 3,
+    constants: str = "anywhere",   # anywhere | subject | object | lcs
+    with_dup: bool = True,
+) -> dict:
+    """-> {(head, frozenset(body)): support}; head/atom terms are '?a'/'?b'/
+    '?c' or ('C', value)."""
+    triples = sorted(set(triples))
+    by_p = defaultdict(set)
+    by_subj = defaultdict(list)   # ent -> [(q, o)]
+    by_obj = defaultdict(list)    # ent -> [(q, s)]
+    subs = defaultdict(set)
+    objs = defaultdict(set)
+    for s, p, o in triples:
+        by_p[p].add((s, o))
+        by_subj[s].append((p, o))
+        by_obj[o].append((p, s))
+        subs[p].add(s)
+        objs[p].add(o)
+    heads = {p: prs for p, prs in by_p.items() if len(prs) >= min_head_size}
+
+    lside = {p: _lower_side(subs[p], objs[p]) for p in by_p}
+
+    def const_ok(pred, pos):  # pos: position of the CONSTANT in the atom
+        if constants == "anywhere":
+            return True
+        if constants == "subject":
+            return pos == "s"
+        if constants == "object":
+            return pos == "o"
+        return pos == lside[pred]  # lcs
+
+    rel = {}
+    adj = defaultdict(lambda: defaultdict(set))
+    for q, pairs in by_p.items():
+        rel[(q, "f")] = pairs
+        rel[(q, "i")] = {(o, s) for s, o in pairs}
+    for (q, d), pairs in rel.items():
+        for x, c in pairs:
+            adj[(q, d)][x].add(c)
+
+    def vv(x, y, q, d):  # var-var atom
+        return (x, q, y) if d == "f" else (y, q, x)
+
+    def catoms(ent, var):
+        """All instantiated atoms binding `var` to facts of `ent`."""
+        out = []
+        for q, o in by_subj[ent]:
+            if const_ok(q, "o"):
+                out.append((var, q, ("C", o)))
+        for q, s in by_obj[ent]:
+            if const_ok(q, "s"):
+                out.append((("C", s), q, var))
+        return out
+
+    def preds_of(atoms):
+        return [a[1] for a in atoms]
+
+    rules = {}
+
+    def emit(p, head, body, support, head_size):
+        if support < max(min_support, min_hc * head_size):
+            return
+        if not with_dup:
+            ps = preds_of(body) + [p]
+            if len(set(ps)) != len(ps):
+                return
+        rules[(head, frozenset(body))] = support
+
+    atoms_vv = sorted(rel)
+    for p, hp in heads.items():
+        hs = len(hp)
+        thr = max(min_support, min_hc * hs)
+        head0 = ("?a", p, "?b")
+        # ---- H0 shapes ----
+        for q, d in atoms_vv:
+            if (q, d) == (p, "f"):
+                continue
+            body = rel[(q, d)]
+            emit(p, head0, [vv("?a", "?b", q, d)], len(hp & body), hs)
+        if max_len >= 3:
+            valid = [a for a in atoms_vv if a != (p, "f")]
+            for a1, a2 in combinations(valid, 2):
+                m = hp & rel[a1] & rel[a2]
+                emit(p, head0,
+                     [vv("?a", "?b", *a1), vv("?a", "?b", *a2)], len(m), hs)
+            for q, d1 in atoms_vv:
+                a1m = adj[(q, d1)]
+                for r, d2 in atoms_vv:
+                    a2m = adj[(r, d2)]
+                    sup = sum(
+                        1 for (a, b) in hp
+                        if a1m.get(a, set()) & a2m.get(b, set())
+                    )
+                    emit(p, head0,
+                         [vv("?a", "?c", q, d1), vv("?b", "?c", r, d2)],
+                         sup, hs)
+            # S4: closed VV + instantiated atom on a or b
+            s4 = defaultdict(set)
+            for q, d in valid:
+                for (a, b) in hp & rel[(q, d)]:
+                    for var, ent in (("?a", a), ("?b", b)):
+                        for ca in catoms(ent, var):
+                            s4[(vv("?a", "?b", q, d), ca)].add((a, b))
+            for (vatom, catom), prs in s4.items():
+                emit(p, head0, [vatom, catom], len(prs), hs)
+            # S5: instantiated on a + instantiated on b
+            s5 = defaultdict(set)
+            for (a, b) in hp:
+                for ca in catoms(a, "?a"):
+                    for cb in catoms(b, "?b"):
+                        s5[(ca, cb)].add((a, b))
+            for (ca, cb), prs in s5.items():
+                emit(p, head0, [ca, cb], len(prs), hs)
+        # ---- instantiated heads ----
+        for head_var, fixed_pos in (("?b", "s"), ("?a", "o")):
+            if not const_ok(p, fixed_pos):
+                continue
+            # group head triples by the fixed constant
+            grouped = defaultdict(set)
+            for s, o in hp:
+                if fixed_pos == "s":
+                    grouped[s].add(o)     # head (C p ?b), free var = object
+                else:
+                    grouped[o].add(s)     # head (?a p C), free var = subject
+            for A, frees in grouped.items():
+                head = (("C", A), p, head_var) if fixed_pos == "s" else (
+                    head_var, p, ("C", A))
+                # L2: one instantiated atom on the free var
+                s6 = defaultdict(set)
+                for e in frees:
+                    for ca in catoms(e, head_var):
+                        if ca == head:
+                            continue
+                        s6[ca].add(e)
+                for ca, es in s6.items():
+                    emit(p, head, [ca], len(es), hs)
+                if max_len < 3:
+                    continue
+                # S7: two VV atoms over (free, c)
+                for a1, a2 in combinations(atoms_vv, 2):
+                    m1, m2 = adj[a1], adj[a2]
+                    es = {e for e in frees
+                          if m1.get(e, set()) & m2.get(e, set())}
+                    emit(p, head,
+                         [vv(head_var, "?c", *a1), vv(head_var, "?c", *a2)],
+                         len(es), hs)
+                # S8: VV(free, c) + instantiated atom on c
+                s8 = defaultdict(set)
+                for e in frees:
+                    for q, d in atoms_vv:
+                        for c in adj[(q, d)].get(e, set()):
+                            for ca in catoms(c, "?c"):
+                                s8[(vv(head_var, "?c", q, d), ca)].add(e)
+                for (vatom, catom), es in s8.items():
+                    emit(p, head, [vatom, catom], len(es), hs)
+                # S9: two instantiated atoms on the free var
+                s9 = defaultdict(set)
+                for e in frees:
+                    cas = [ca for ca in catoms(e, head_var) if ca != head]
+                    for c1, c2 in combinations(
+                        sorted(set(cas), key=_atom_str), 2
+                    ):
+                        s9[(c1, c2)].add(e)
+                for (c1, c2), es in s9.items():
+                    emit(p, head, [c1, c2], len(es), hs)
+    return rules

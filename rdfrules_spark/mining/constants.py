@@ -1,0 +1,387 @@
+"""AMIE mining WITH constants (instantiated atoms) as staged DataFrame jobs.
+
+Reference semantics (cites):
+  * instantiated heads (C p ?b) / (?a p C) keep headSize = |p| and are
+    thresholded by their own triple count — HeadsFetcher.scala:24-92 (the
+    head-candidate filter is subsumed by the final support HAVING, since
+    rule support <= instantiated-head size);
+  * body atoms carry at most one constant — refinement instantiates only
+    the dangling variable of the fresh atom (RuleRefinement.scala);
+  * ConstantsAtPosition constrains WHERE constants may appear: Subject /
+    Object / LowerCardinalitySide (per-atom-predicate side, TripleIndex
+    .scala:155-159: n_subj >= n_obj -> Object) / anywhere
+    (RuleConstraint.scala:28-104);
+  * closed rule = every VARIABLE appears >= 2x; atoms pairwise distinct and
+    distinct from the head atom; rule identity = (head, SET of body atoms)
+    (AmieSpec.scala:122 `body.toSet -> head`).
+
+Execution = the reference's level-synchronous BFS re-expressed as staged
+aggregations: every length-3 shape is computed FROM the length-2 survivor
+set of its prefix rule (semi-join on the survivor keys). This is exact, not
+a heuristic: support is monotone non-increasing under body extension and
+the emission threshold max(minSupport, minHC*headSize) depends only on the
+head, so a surviving length-3 rule implies its length-2 prefix survived —
+precisely the reason AMIE's BFS-with-pruning enumerates the complete rule
+space (Amie.scala:184-231). The semi-joins are what keep the instantiated
+shapes from exploding on hub entities.
+
+Closed-rule shapes over head types H0=(?a p ?b), HS=(C p ?b), HO=(?a p C)
+(maxRuleLength 3, dir d/e marks which side the var is on):
+
+  H0: l2 VV | l3 {VV,VV} | l3 path (S3) | S4 {VV(a,b), CAtom(a|b)}
+      | S5 {CAtom(a), CAtom(b)}
+  HS/HO (free var f): S6 {CAtom(f)} | S7 {VV(f,c), VV(f,c)}
+      | S8 {VV(f,c), CAtom(c)} | S9 {CAtom(f), CAtom(f)}
+
+Output rows: (head, p, head_const, atoms array<string> sorted, shape,
+support, head_size, head_coverage) — atom string "subj|pred|obj" with vars
+?a ?b ?c and constants "C=<v>"; identical encoding to the brute oracle
+(mining/brute.mine_brute_constants) used by the tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdfrules_spark.mining.amie import MiningParams, _b
+
+
+def _const_side(triples: DataFrame, constants: str) -> DataFrame | None:
+    """Per-predicate allowed constant position for 'lcs', else None."""
+    if constants != "lcs":
+        return None
+    return triples.groupBy("p").agg(
+        F.countDistinct("s").alias("ns"), F.countDistinct("o").alias("no")
+    ).select(
+        "p",
+        F.when(F.col("ns") >= F.col("no"), "o").otherwise("s").alias("cpos"),
+    )
+
+
+def _catoms(triples: DataFrame, constants: str) -> DataFrame:
+    """Instantiated-atom relation CA(x, q2, cst, e): binding entity x via an
+    atom with the constant on the other side; e = the VARIABLE's position."""
+    sub = triples.select(
+        F.col("s").alias("x"), F.col("p").alias("q2"),
+        F.col("o").alias("cst"), F.lit("s").alias("e"),
+    )  # atom (?x q2 C)  — constant at object
+    obj = triples.select(
+        F.col("o").alias("x"), F.col("p").alias("q2"),
+        F.col("s").alias("cst"), F.lit("o").alias("e"),
+    )  # atom (C q2 ?x)  — constant at subject
+    if constants == "object":
+        return sub
+    if constants == "subject":
+        return obj
+    ca = sub.unionByName(obj)
+    if constants == "lcs":
+        side = _const_side(triples, constants)
+        ca = ca.join(F.broadcast(side.withColumnRenamed("p", "q2")), "q2").where(
+            ((F.col("e") == "s") & (F.col("cpos") == "o"))
+            | ((F.col("e") == "o") & (F.col("cpos") == "s"))
+        ).drop("cpos")
+    return ca
+
+
+def _vv_str(u: str, v: str, q, d):
+    d = d if isinstance(d, F.Column) else F.lit(d)
+    return F.when(
+        d == "f", F.concat(F.lit(u + "|"), q, F.lit("|" + v))
+    ).otherwise(F.concat(F.lit(v + "|"), q, F.lit("|" + u)))
+
+
+def _ca_str(u: str, q2, cst, e):
+    e = e if isinstance(e, F.Column) else F.lit(e)
+    return F.when(
+        e == "s", F.concat(F.lit(u + "|"), q2, F.lit("|C="), cst)
+    ).otherwise(F.concat(F.lit("C="), cst, F.lit("|"), q2, F.lit("|" + u)))
+
+
+def _finish(agg, heads, params: MiningParams, head_expr, atoms_expr, shape):
+    out = (
+        agg.join(F.broadcast(heads), "p")
+        .where(
+            (F.col("support") >= params.min_support)
+            & (F.col("support")
+               >= F.col("head_size") * params.min_head_coverage)
+        )
+        .select(
+            head_expr.alias("head"),
+            "p",
+            atoms_expr.alias("atoms"),
+            F.lit(shape).alias("shape"),
+            "support",
+            "head_size",
+            (F.col("support") / F.col("head_size")).alias("head_coverage"),
+        )
+    )
+    if not params.with_duplicate_predicates:
+        all_preds = F.array_union(
+            F.array(F.col("p")),
+            F.transform(F.col("atoms"), lambda a: F.split(a, "\\|")[1]),
+        )
+        n_atoms = F.size(F.col("atoms")) + 1
+        out = out.where(F.size(all_preds) == n_atoms)
+    return out
+
+
+def mine_constants(
+    triples: DataFrame,
+    params: MiningParams | None = None,
+    constants: str = "anywhere",
+) -> DataFrame:
+    """Complete closed-rule set (lengths 2..max_rule_length, constants per
+    `constants` policy) INCLUDING the constant-free shapes, as canonical
+    (head, atoms) rows. `triples` must be distinct (s,p,o)."""
+    params = params or MiningParams()
+    if params.only_predicates is not None:
+        triples = triples.where(F.col("p").isin(params.only_predicates))
+    if params.without_predicates is not None:
+        triples = triples.where(~F.col("p").isin(params.without_predicates))
+
+    heads = triples.groupBy("p").agg(F.count(F.lit(1)).alias("head_size"))
+    heads = heads.where(F.col("head_size") >= params.min_head_size)
+
+    b = _b(triples)
+    ca = _catoms(triples, constants)
+    h0 = triples.join(F.broadcast(heads.select("p")), "p").select(
+        "p", F.col("s").alias("a"), F.col("o").alias("bb")
+    )
+    results = []
+
+    # ---------------- H0 shapes ----------------
+    head0 = F.concat(F.lit("?a|"), F.col("p"), F.lit("|?b"))
+
+    # l2: VV(a,b)
+    m = h0.join(
+        b, (F.col("a") == F.col("x")) & (F.col("bb") == F.col("y"))
+    ).where((F.col("q") != F.col("p")) | (F.col("d") != "f")).select(
+        "p", "a", "bb", "q", "d"
+    )
+    l2 = m.groupBy("p", "q", "d").agg(F.count(F.lit(1)).alias("support"))
+    results.append(_finish(
+        l2, heads, params, head0,
+        F.array(_vv_str("?a", "?b", F.col("q"), F.col("d"))), "l2",
+    ))
+
+    if params.max_rule_length >= 3:
+        # l2 survivors gate every H0 length-3 shape built on a VV atom
+        l2s = (
+            l2.join(F.broadcast(heads), "p")
+            .where((F.col("support") >= params.min_support)
+                   & (F.col("support")
+                      >= F.col("head_size") * params.min_head_coverage))
+            .select("p", "q", "d")
+        )
+        ms = m.join(F.broadcast(l2s), ["p", "q", "d"], "left_semi")
+
+        # l3v2: {VV, VV}
+        m2 = ms.select(
+            "p", "a", "bb", F.col("q").alias("r"), F.col("d").alias("d2")
+        )
+        pairs = ms.join(m2, ["p", "a", "bb"]).where(
+            (F.col("q") < F.col("r"))
+            | ((F.col("q") == F.col("r")) & (F.col("d") < F.col("d2")))
+        )
+        l3v2 = pairs.groupBy("p", "q", "d", "r", "d2").agg(
+            F.count(F.lit(1)).alias("support")
+        )
+        results.append(_finish(
+            l3v2, heads, params, head0,
+            F.array_sort(F.array(
+                _vv_str("?a", "?b", F.col("q"), F.col("d")),
+                _vv_str("?a", "?b", F.col("r"), F.col("d2")),
+            )), "l3v2",
+        ))
+
+        # l3 path (S3): VV(a,c) + VV(b,c); gated by the dangling prefix
+        # (a p b) <- (a q c) survivors
+        b1 = b.select(F.col("x").alias("a"), F.col("y").alias("c"),
+                      "q", F.col("d").alias("d1"))
+        dang_a = h0.join(b1, "a")
+        da_s = dang_a.groupBy("p", "q", "d1").agg(
+            F.countDistinct("a", "bb").alias("support")
+        ).join(F.broadcast(heads), "p").where(
+            (F.col("support") >= params.min_support)
+            & (F.col("support")
+               >= F.col("head_size") * params.min_head_coverage)
+        ).select("p", "q", "d1")
+        b2 = b.select(F.col("x").alias("bb"), F.col("y").alias("c"),
+                      F.col("q").alias("r"), F.col("d").alias("d2"))
+        j3 = (
+            dang_a.join(F.broadcast(da_s), ["p", "q", "d1"], "left_semi")
+            .join(b2, ["bb", "c"])
+        )
+        l3v3 = j3.groupBy("p", "q", "d1", "r", "d2").agg(
+            F.countDistinct("a", "bb").alias("support")
+        )
+        results.append(_finish(
+            l3v3, heads, params, head0,
+            F.array_sort(F.array(
+                _vv_str("?a", "?c", F.col("q"), F.col("d1")),
+                _vv_str("?b", "?c", F.col("r"), F.col("d2")),
+            )), "l3v3",
+        ))
+
+        if constants != "nowhere":
+            # S4: {VV(a,b), CAtom on a or b} — gated by l2 survivors
+            for role, key in (("?a", "a"), ("?b", "bb")):
+                j = ms.join(ca, ms[key] == ca["x"])
+                agg = j.groupBy("p", "q", "d", "q2", "cst", "e").agg(
+                    F.countDistinct("a", "bb").alias("support")
+                )
+                results.append(_finish(
+                    agg, heads, params, head0,
+                    F.array_sort(F.array(
+                        _vv_str("?a", "?b", F.col("q"), F.col("d")),
+                        _ca_str(role, F.col("q2"), F.col("cst"), F.col("e")),
+                    )), "s4",
+                ))
+
+            # S5: {CAtom(a), CAtom(b)} — gated by the instantiated-dangling
+            # prefix (a p b) <- CAtom(a) survivors
+            ia = h0.join(ca, h0["a"] == ca["x"]).select(
+                "p", "a", "bb",
+                F.col("q2").alias("qa"), F.col("cst").alias("csta"),
+                F.col("e").alias("ea"),
+            )
+            ia_s = ia.groupBy("p", "qa", "csta", "ea").agg(
+                F.countDistinct("a", "bb").alias("support")
+            ).join(F.broadcast(heads), "p").where(
+                (F.col("support") >= params.min_support)
+                & (F.col("support")
+                   >= F.col("head_size") * params.min_head_coverage)
+            ).select("p", "qa", "csta", "ea")
+            s5 = (
+                ia.join(ia_s, ["p", "qa", "csta", "ea"], "left_semi")
+                .join(ca, F.col("bb") == ca["x"])
+                .groupBy("p", "qa", "csta", "ea", "q2", "cst", "e")
+                .agg(F.countDistinct("a", "bb").alias("support"))
+            )
+            results.append(_finish(
+                s5, heads, params, head0,
+                F.array_sort(F.array(
+                    _ca_str("?a", F.col("qa"), F.col("csta"), F.col("ea")),
+                    _ca_str("?b", F.col("q2"), F.col("cst"), F.col("e")),
+                )), "s5",
+            ))
+
+    # ---------------- instantiated heads ----------------
+    if constants != "nowhere":
+        for fixed_pos, fvar in (("s", "?b"), ("o", "?a")):
+            if constants == "object" and fixed_pos == "s":
+                continue
+            if constants == "subject" and fixed_pos == "o":
+                continue
+            ih = h0.select(
+                "p",
+                (F.col("a") if fixed_pos == "s" else F.col("bb")).alias("A"),
+                (F.col("bb") if fixed_pos == "s" else F.col("a")).alias("f"),
+            )
+            if constants == "lcs":
+                side = _const_side(triples, constants)
+                ih = ih.join(F.broadcast(side), "p").where(
+                    F.col("cpos") == fixed_pos
+                ).drop("cpos")
+            head_i = (
+                F.concat(F.lit("C="), F.col("A"), F.lit("|"), F.col("p"),
+                         F.lit("|?b"))
+                if fixed_pos == "s"
+                else F.concat(F.lit("?a|"), F.col("p"), F.lit("|C="),
+                              F.col("A"))
+            )
+            not_head_atom = ~(
+                (F.col("e") == ("o" if fixed_pos == "s" else "s"))
+                & (F.col("q2") == F.col("p")) & (F.col("cst") == F.col("A"))
+            )
+
+            # S6: one CAtom on the free var (also the gate for S9)
+            ihca = ih.join(ca, ih["f"] == ca["x"]).where(not_head_atom).select(
+                "p", "A", "f", "q2", "cst", "e"
+            )
+            s6 = ihca.groupBy("p", "A", "q2", "cst", "e").agg(
+                F.countDistinct("f").alias("support")
+            )
+            results.append(_finish(
+                s6, heads, params, head_i,
+                F.array(_ca_str(fvar, F.col("q2"), F.col("cst"), F.col("e"))),
+                "s6",
+            ))
+
+            if params.max_rule_length >= 3:
+                s6s = s6.join(F.broadcast(heads), "p").where(
+                    (F.col("support") >= params.min_support)
+                    & (F.col("support")
+                       >= F.col("head_size") * params.min_head_coverage)
+                ).select("p", "A", "q2", "cst", "e")
+
+                # dangling prefix (head) <- VV(f, c) — gate for S7/S8
+                ihb = ih.join(b, ih["f"] == b["x"]).select(
+                    "p", "A", "f", F.col("y").alias("c"), "q", "d"
+                )
+                d7s = ihb.groupBy("p", "A", "q", "d").agg(
+                    F.countDistinct("f").alias("support")
+                ).join(F.broadcast(heads), "p").where(
+                    (F.col("support") >= params.min_support)
+                    & (F.col("support")
+                       >= F.col("head_size") * params.min_head_coverage)
+                ).select("p", "A", "q", "d")
+                ihb_s = ihb.join(d7s, ["p", "A", "q", "d"], "left_semi")
+
+                # S7: {VV(f,c), VV(f,c)} distinct pair
+                ihb2 = ihb.select(
+                    "p", "A", "f", "c",
+                    F.col("q").alias("r"), F.col("d").alias("d2"),
+                )
+                p7 = ihb_s.join(ihb2, ["p", "A", "f", "c"]).where(
+                    (F.col("q") < F.col("r"))
+                    | ((F.col("q") == F.col("r")) & (F.col("d") < F.col("d2")))
+                )
+                s7 = p7.groupBy("p", "A", "q", "d", "r", "d2").agg(
+                    F.countDistinct("f").alias("support")
+                )
+                results.append(_finish(
+                    s7, heads, params, head_i,
+                    F.array_sort(F.array(
+                        _vv_str(fvar, "?c", F.col("q"), F.col("d")),
+                        _vv_str(fvar, "?c", F.col("r"), F.col("d2")),
+                    )), "s7",
+                ))
+
+                # S8: {VV(f,c), CAtom(c)}
+                s8 = (
+                    ihb_s.join(ca, F.col("c") == ca["x"])
+                    .groupBy("p", "A", "q", "d", "q2", "cst", "e")
+                    .agg(F.countDistinct("f").alias("support"))
+                )
+                results.append(_finish(
+                    s8, heads, params, head_i,
+                    F.array_sort(F.array(
+                        _vv_str(fvar, "?c", F.col("q"), F.col("d")),
+                        _ca_str("?c", F.col("q2"), F.col("cst"), F.col("e")),
+                    )), "s8",
+                ))
+
+                # S9: {CAtom(f), CAtom(f)} distinct pair, gated by S6
+                # survivors on the canonically-smaller atom
+                a1str = _ca_str(fvar, F.col("q2"), F.col("cst"), F.col("e"))
+                r1 = ihca.join(
+                    s6s, ["p", "A", "q2", "cst", "e"], "left_semi"
+                ).select("p", "A", "f", a1str.alias("a1"))
+                r2 = ihca.select("p", "A", "f", a1str.alias("a2"))
+                s9 = (
+                    r1.join(r2, ["p", "A", "f"])
+                    .where(F.col("a1") < F.col("a2"))
+                    .groupBy("p", "A", "a1", "a2")
+                    .agg(F.countDistinct("f").alias("support"))
+                )
+                results.append(_finish(
+                    s9, heads, params, head_i,
+                    F.array(F.col("a1"), F.col("a2")), "s9",
+                ))
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1457,3 +1457,53 @@ def q_lift_l2(spark, sf_dir):
         "p", "q", "d1", "support", "mode_probability",
         F.col("lift").alias("lift"),
     )
+
+
+@register(
+    "mine_constants_l2_object",
+    f"""
+    with {_MINE_BASE_SQL},
+    l2 as (select t.p, b.q, b.d as d1, count(*) as support
+           from t join b on t.s = b.x and t.o = b.y
+           where b.q <> t.p or b.d <> 'f'
+           group by t.p, b.q, b.d),
+    l2r as (select concat('?a|', l2.p, '|?b') as head, l2.p,
+                   case when d1 = 'f' then concat('?a|', q, '|?b')
+                        else concat('?b|', q, '|?a') end as body,
+                   support, heads.head_size
+            from l2 join heads on l2.p = heads.p
+            where support >= 3 and support / heads.head_size >= 0.04),
+    ih as (select p, o as A, s as f from t
+           where p in (select p from heads)),
+    ca as (select s as x, p as q2, o as cst from t),
+    s6 as (select ih.p, ih.A, ca.q2, ca.cst,
+                  count(distinct ih.f) as support
+           from ih join ca on ca.x = ih.f
+           where not (ca.q2 = ih.p and ca.cst = ih.A)
+           group by ih.p, ih.A, ca.q2, ca.cst),
+    s6r as (select concat('?a|', s6.p, '|C=', s6.A) as head, s6.p,
+                   concat('?a|', q2, '|C=', cst) as body,
+                   support, heads.head_size
+            from s6 join heads on s6.p = heads.p
+            where support >= 3 and support / heads.head_size >= 0.04)
+    select head, body, support, head_size,
+           support / head_size as head_coverage
+    from (select * from l2r union all select * from s6r)
+    """,
+)
+def q_mine_constants_l2_object(spark, sf_dir):
+    """Length-2 mining with object-position constants (instantiated heads
+    (?a p C) + instantiated body atoms; HeadsFetcher.scala:24-92,
+    RuleConstraint.ConstantsAtPosition)."""
+    from rdfrules_spark.mining.amie import MiningParams
+    from rdfrules_spark.mining.constants import mine_constants
+
+    t = _kg_triples_df(spark, sf_dir)
+    params = MiningParams(min_head_size=50, min_support=3,
+                          min_head_coverage=0.04, max_rule_length=2)
+    out = mine_constants(t, params, constants="object")
+    return out.select(
+        "head",
+        F.array_join(F.array_sort("atoms"), ";").alias("body"),
+        "support", "head_size", "head_coverage",
+    )
