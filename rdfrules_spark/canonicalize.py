@@ -81,22 +81,30 @@ def connected_components(
 
 
 def canonicalize_triples(
-    relations: DataFrame, sameas: DataFrame
+    relations: DataFrame, sameas: DataFrame, rewrite_predicates: bool = False
 ) -> tuple[DataFrame, DataFrame]:
-    """Rewrite s and o of ``relations(doc_id?, s, p, o)`` through the canon
-    map built from ``sameas(a, b)``. Returns (canonical_relations, canon_map).
-    """
+    """Rewrite s and o (and optionally p — reference merges predicate ids
+    through the same dictionary, e.g. `<p> owl:sameAs <x>` in
+    sameastest.tsv) of ``relations(doc_id?, s, p, o)`` through the canon
+    map built from ``sameas(a, b)``. Returns (canonical_relations,
+    canon_map). Canonical representative = component minimum (deterministic;
+    the reference's subject-side-wins pick is insertion-order-dependent —
+    counts and component structure are identical)."""
     canon = connected_components(sameas)
     s_map = canon.select(F.col("node").alias("s"), F.col("canon").alias("s_canon"))
     o_map = canon.select(F.col("node").alias("o"), F.col("canon").alias("o_canon"))
-    out = (
-        relations.join(s_map, "s", "left")
-        .join(o_map, "o", "left")
-        .select(
-            *[c for c in relations.columns if c not in ("s", "p", "o")],
-            F.coalesce("s_canon", "s").alias("s"),
-            F.col("p"),
-            F.coalesce("o_canon", "o").alias("o"),
+    out = relations.join(s_map, "s", "left").join(o_map, "o", "left")
+    p_col = F.col("p")
+    if rewrite_predicates:
+        p_map = canon.select(
+            F.col("node").alias("p"), F.col("canon").alias("p_canon")
         )
+        out = out.join(p_map, "p", "left")
+        p_col = F.coalesce("p_canon", "p")
+    out = out.select(
+        *[c for c in relations.columns if c not in ("s", "p", "o")],
+        F.coalesce("s_canon", "s").alias("s"),
+        p_col.alias("p"),
+        F.coalesce("o_canon", "o").alias("o"),
     )
     return out, canon

@@ -54,8 +54,16 @@ def _combo_join(
     return left.join(ren, cond, how).drop(*["_" + k for k in keys])
 
 
-def body_pairs(triples: DataFrame, rules: DataFrame, shape: str) -> DataFrame:
-    """Distinct (?a,?b) body bindings per surviving rule combo of a shape."""
+def body_pairs(
+    triples: DataFrame, rules: DataFrame, shape: str,
+    injective: bool = False,
+) -> DataFrame:
+    """Distinct (?a,?b) body bindings per surviving rule combo of a shape.
+
+    ``injective``: pairwise-distinct variable bindings (reference
+    Ruleset.computeConfidence defaults injectiveMapping=true even though
+    mining counts support non-injectively — Ruleset.scala:186).
+    """
     b = _b(triples)
     combos = rules.where(F.col("shape") == shape).select(*COMBO).distinct()
     if shape == "l2":
@@ -63,6 +71,8 @@ def body_pairs(triples: DataFrame, rules: DataFrame, shape: str) -> DataFrame:
             b.withColumnRenamed("d", "d1"),
             combos.select("q", "d1"), ["q", "d1"], broadcast_right=True,
         )
+        if injective:
+            bb = bb.where(F.col("x") != F.col("y"))
         return bb.select(
             "q", "d1", F.lit(None).cast("long").alias("r"),
             F.lit(None).cast("string").alias("d2"),
@@ -83,6 +93,8 @@ def body_pairs(triples: DataFrame, rules: DataFrame, shape: str) -> DataFrame:
         )
         j = _combo_join(b1.join(b2, ["a", "b"]), combos, COMBO,
                         broadcast_right=True)
+        if injective:
+            j = j.where(F.col("a") != F.col("b"))
         return j.select(*COMBO, "a", "b").distinct()
     if shape == "l3v3":
         b1 = _combo_join(
@@ -98,6 +110,11 @@ def body_pairs(triples: DataFrame, rules: DataFrame, shape: str) -> DataFrame:
             broadcast_right=True,
         )
         j = _combo_join(b1.join(b2, "c"), combos, COMBO, broadcast_right=True)
+        if injective:
+            j = j.where(
+                (F.col("a") != F.col("b"))
+                & (F.col("c") != F.col("a")) & (F.col("c") != F.col("b"))
+            )
         return j.select(*COMBO, "a", "b").distinct()
     raise ValueError(shape)
 
@@ -168,6 +185,7 @@ def confidences(
     cwa: bool = True,
     pca: bool = True,
     min_confidence: float = 0.0,
+    injective: bool = False,
 ) -> DataFrame:
     """Attach body_size/cwa_confidence and/or pca_body_size/pca_confidence.
 
@@ -200,7 +218,7 @@ def confidences(
                 <= F.col("support") / min_confidence
             ).drop("lb_body_size")
             shaped = shaped.localCheckpoint(eager=True)
-        pairs = body_pairs(triples, shaped, shape)
+        pairs = body_pairs(triples, shaped, shape, injective=injective)
         if cwa and pca:
             # eager: both measure branches read pairs; a lazy cache lets the
             # union's branches race and compute the path join twice

@@ -1,0 +1,407 @@
+"""Confidence measures for canonical rules WITH constants
+(mining/constants.py output rows: head, p, atoms array<string>, shape,
+support, head_size, head_coverage).
+
+Reference semantics (core:algorithm/amie/RuleCounting.scala):
+  bodySize      = #distinct bindings of the HEAD variables over the body
+  pcaBodySize   = bodySize restricted to bindings whose head entity on the
+                  head predicate's higherCardinalitySide exists for p
+                  (RuleCounting.scala:235-296). For instantiated heads the
+                  higher side may be the CONSTANT side — then the
+                  restriction is a per-rule boolean (C present on that
+                  side), scaling pcaBodySize to bodySize or 0.
+
+Each shape is one aggregation job over the parsed atom components; rules
+are keyed by `rid` (head + canonical body). CWA = support/body_size;
+PCA = support/pca_body_size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _split(col, i):
+    return F.split(col, "\\|")[i]
+
+
+def _with_rid(rules: DataFrame) -> DataFrame:
+    return rules.withColumn(
+        "rid", F.concat_ws("<-", F.col("head"), F.array_join("atoms", ";"))
+    )
+
+
+def _atom_struct(a):
+    return F.struct(
+        _split(a, 0).alias("s"), _split(a, 1).alias("q"), _split(a, 2).alias("o")
+    )
+
+
+def _parsed(rules: DataFrame) -> DataFrame:
+    out = rules.withColumn("_ats", F.transform("atoms", _atom_struct))
+    inst = F.filter(
+        "_ats", lambda a: a["s"].startswith("C=") | a["o"].startswith("C=")
+    )
+    vv = F.filter(
+        "_ats", lambda a: a["s"].startswith("?") & a["o"].startswith("?")
+    )
+    return out.withColumn("_inst", inst).withColumn("_vv", vv)
+
+
+def _ca_cols(atom, prefix: str):
+    """Instantiated atom -> (var, q2, cst, e) columns; e = var position."""
+    var_at_s = atom["s"].startswith("?")
+    return [
+        F.when(var_at_s, atom["s"]).otherwise(atom["o"]).alias(prefix + "u"),
+        atom["q"].alias(prefix + "q2"),
+        F.substring(
+            F.when(var_at_s, atom["o"]).otherwise(atom["s"]), 3, 1_000_000
+        ).alias(prefix + "cst"),
+        F.when(var_at_s, "s").otherwise("o").alias(prefix + "e"),
+    ]
+
+
+def _vv_cols(atom, primary_var, prefix: str):
+    """VV atom -> (q, d) with d='f' when primary_var is at subject."""
+    return [
+        atom["q"].alias(prefix + "q"),
+        F.when(atom["s"] == primary_var, "f").otherwise("i").alias(prefix + "d"),
+    ]
+
+
+def _ents(triples: DataFrame) -> DataFrame:
+    """E(q2, cst, e, x): entities matching an instantiated-atom pattern."""
+    return triples.select(
+        F.col("p").alias("q2"), F.col("o").alias("cst"),
+        F.lit("s").alias("e"), F.col("s").alias("x"),
+    ).unionByName(
+        triples.select(
+            F.col("p").alias("q2"), F.col("s").alias("cst"),
+            F.lit("o").alias("e"), F.col("o").alias("x"),
+        )
+    )
+
+
+def _side(triples: DataFrame) -> DataFrame:
+    """higherCardinalitySide per predicate ('s' or 'o')."""
+    return triples.groupBy("p").agg(
+        F.countDistinct("s").alias("ns"), F.countDistinct("o").alias("no")
+    ).select(
+        "p", F.when(F.col("ns") >= F.col("no"), "s").otherwise("o").alias("hside")
+    )
+
+
+def _side_ents(triples: DataFrame) -> DataFrame:
+    """SE(p, pos, x): distinct entities of p at position pos."""
+    return triples.select(
+        "p", F.lit("s").alias("pos"), F.col("s").alias("x")
+    ).unionByName(
+        triples.select("p", F.lit("o").alias("pos"), F.col("o").alias("x"))
+    ).distinct()
+
+
+def _b_rel(triples: DataFrame) -> DataFrame:
+    return triples.select(
+        F.col("s").alias("x"), F.col("o").alias("y"), F.col("p").alias("q"),
+        F.lit("f").alias("d"),
+    ).unionByName(
+        triples.select(
+            F.col("o").alias("x"), F.col("s").alias("y"),
+            F.col("p").alias("q"), F.lit("i").alias("d"),
+        )
+    )
+
+
+def _head_var_pos(rules: DataFrame) -> DataFrame:
+    """For instantiated heads: the free variable's position in the head."""
+    return rules.withColumn(
+        "fvpos",
+        F.when(_split(F.col("head"), 0).startswith("?"), "s").otherwise("o"),
+    )
+
+
+def confidences_constants(
+    rules: DataFrame, triples: DataFrame, injective: bool = False
+) -> DataFrame:
+    """Attach body_size, cwa_confidence, pca_body_size, pca_confidence to
+    every canonical rule row (all 9 shapes).
+
+    ``injective=True`` reproduces the reference Ruleset.computeConfidence
+    default (injectiveMapping=true, Ruleset.scala:186): pairwise-distinct
+    variable bindings — RulesetSpec's 105/12/57/810 confidence goldens need
+    it even though mining itself counts support non-injectively."""
+    t = triples.select("s", "p", "o")
+    E = _ents(t)
+    SE = _side_ents(t)
+    side = _side(t)
+    b = _b_rel(t)
+    # R is referenced by every shape branch (and measures.confidences reads
+    # its input many times) — eager-checkpoint once; it is rule-table sized
+    R = _parsed(_with_rid(rules)).join(F.broadcast(side), "p").localCheckpoint(
+        eager=True
+    )
+    present = {r["shape"] for r in R.select("shape").distinct().collect()}
+
+    outs = []
+
+    def finish(shaped, sizes):
+        """sizes: (rid, body_size, pca_body_size)."""
+        out = shaped.join(sizes, "rid", "left").select(
+            "rid", "head", "p", "atoms", "shape", "support", "head_size",
+            "head_coverage", "body_size", "pca_body_size",
+        )
+        outs.append(out)
+
+    # ---- var-only shapes: delegate to measures.confidences, which counts
+    # body pairs ONCE PER COMBO (q,d1,r,d2) — per-rule joins here would
+    # repeat the quadratic path join for every rule sharing a combo ----
+    if present & {"l2", "l3v2", "l3v3"}:
+        from rdfrules_spark.mining.measures import confidences
+
+        vvshaped = R.where(F.col("shape").isin("l2", "l3v2", "l3v3"))
+
+        def _d(atom, primary):
+            return F.when(atom["s"] == primary, "f").otherwise("i")
+
+        a_atom = F.filter(
+            "_vv", lambda a: (a["s"] == "?a") | (a["o"] == "?a")
+        )[0]
+        b_atom = F.filter(
+            "_vv", lambda a: (a["s"] == "?b") | (a["o"] == "?b")
+        )[0]
+        comp = vvshaped.select(
+            "rid", "p", "shape", "support", "head_size", "head_coverage",
+            F.when(F.col("shape") == "l3v3", a_atom["q"])
+            .otherwise(F.col("_vv")[0]["q"]).alias("q"),
+            F.when(F.col("shape") == "l3v3", _d(a_atom, F.lit("?a")))
+            .otherwise(_d(F.col("_vv")[0], F.lit("?a"))).alias("d1"),
+            F.when(F.col("shape") == "l3v3", b_atom["q"])
+            .when(F.col("shape") == "l3v2", F.col("_vv")[1]["q"])
+            .otherwise(F.lit(None)).alias("r"),
+            F.when(F.col("shape") == "l3v3", _d(b_atom, F.lit("?b")))
+            .when(F.col("shape") == "l3v2", _d(F.col("_vv")[1], F.lit("?a")))
+            .otherwise(F.lit(None)).alias("d2"),
+        )
+        sizes = confidences(
+            comp.localCheckpoint(eager=True), t, injective=injective
+        ).select("rid", "body_size", "pca_body_size")
+        finish(vvshaped, sizes)
+
+    # ---- s4: {VV(a,b), CAtom(x)} ----
+    s4 = R.where(F.col("shape") == "s4").select(
+        "rid", "p", "hside",
+        *_vv_cols(F.col("_vv")[0], F.lit("?a"), "a1"),
+        *_ca_cols(F.col("_inst")[0], "c1"),
+    )
+    j = s4.join(
+        b.select(F.col("q").alias("a1q"), F.col("d").alias("a1d"),
+                 F.col("x").alias("va"), F.col("y").alias("vb")),
+        ["a1q", "a1d"],
+    ).join(
+        E.select(F.col("q2").alias("c1q2"), F.col("cst").alias("c1cst"),
+                 F.col("e").alias("c1e"), F.col("x").alias("cx")),
+        ["c1q2", "c1cst", "c1e"],
+    ).where(
+        F.col("cx") == F.when(F.col("c1u") == "?a", F.col("va"))
+        .otherwise(F.col("vb"))
+    )
+    if injective:
+        j = j.where(F.col("va") != F.col("vb"))
+    pairs = j.select("rid", "p", "hside", "va", "vb").distinct().withColumn(
+        "_hvv", F.when(F.col("hside") == "s", F.col("va"))
+        .otherwise(F.col("vb"))
+    )
+    SEr4 = SE.select(F.col("p").alias("_p"), F.col("pos").alias("_pos"),
+                     F.col("x").alias("_hv"))
+    pca_pairs = pairs.join(
+        SEr4,
+        (F.col("_hvv") == F.col("_hv"))
+        & (F.col("p") == F.col("_p")) & (F.col("hside") == F.col("_pos")),
+        "left_semi",
+    )
+    sizes = pairs.groupBy("rid").agg(F.count(F.lit(1)).alias("body_size")).join(
+        pca_pairs.groupBy("rid").agg(F.count(F.lit(1)).alias("pca_body_size")),
+        "rid", "left",
+    )
+    finish(R.where(F.col("shape") == "s4"), sizes)
+
+    # ---- s5: {CAtom(a), CAtom(b)}: product of the two entity sets ----
+    s5 = R.where(F.col("shape") == "s5").select(
+        "rid", "p", "hside",
+        *_ca_cols(F.col("_inst")[0], "c1"), *_ca_cols(F.col("_inst")[1], "c2"),
+    )
+
+    def ca_counts(df, pfx):
+        jj = df.select("rid", "p", "hside", f"{pfx}u", f"{pfx}q2",
+                       f"{pfx}cst", f"{pfx}e").join(
+            E.select(F.col("q2").alias(f"{pfx}q2"),
+                     F.col("cst").alias(f"{pfx}cst"),
+                     F.col("e").alias(f"{pfx}e"), F.col("x")),
+            [f"{pfx}q2", f"{pfx}cst", f"{pfx}e"],
+        )
+        # does this atom bind the head's higher-side variable?
+        on_hside = (
+            ((F.col(f"{pfx}u") == "?a") & (F.col("hside") == "s"))
+            | ((F.col(f"{pfx}u") == "?b") & (F.col("hside") == "o"))
+        )
+        SEc = SE.select(F.col("p").alias("_p"), F.col("pos").alias("_pos"),
+                        F.col("x").alias("_x"))
+        in_side = jj.join(
+            SEc,
+            (F.col("p") == F.col("_p")) & (F.col("hside") == F.col("_pos"))
+            & (F.col("x") == F.col("_x")),
+            "left_semi",
+        )
+        n = jj.groupBy("rid").agg(F.count(F.lit(1)).alias(f"{pfx}n"))
+        npca = in_side.groupBy("rid").agg(F.count(F.lit(1)).alias(f"{pfx}np"))
+        flag = df.select("rid", on_hside.alias(f"{pfx}hs"))
+        return n.join(npca, "rid", "left").join(flag, "rid").fillna(
+            {f"{pfx}np": 0}
+        )
+
+    c1 = ca_counts(s5, "c1")
+    c2 = ca_counts(s5, "c2")
+    s5sizes = c1.join(c2, "rid").select(
+        "rid",
+        (F.col("c1n") * F.col("c2n")).alias("body_size"),
+        F.when(F.col("c1hs"), F.col("c1np") * F.col("c2n"))
+        .otherwise(F.col("c1n") * F.col("c2np")).alias("pca_body_size"),
+    )
+    if injective:
+        # subtract the a==b diagonal: |E1 ∩ E2| pairs (and its pca subset)
+        e1 = s5.join(
+            E.select(F.col("q2").alias("c1q2"), F.col("cst").alias("c1cst"),
+                     F.col("e").alias("c1e"), F.col("x")),
+            ["c1q2", "c1cst", "c1e"],
+        ).select("rid", "p", "hside", "x")
+        e2 = s5.join(
+            E.select(F.col("q2").alias("c2q2"), F.col("cst").alias("c2cst"),
+                     F.col("e").alias("c2e"), F.col("x")),
+            ["c2q2", "c2cst", "c2e"],
+        ).select("rid", "x")
+        diag = e1.join(e2, ["rid", "x"])
+        SEd = SE.select(F.col("p").alias("_p"), F.col("pos").alias("_pos"),
+                        F.col("x").alias("_x"))
+        diag_pca = diag.join(
+            SEd,
+            (F.col("p") == F.col("_p")) & (F.col("hside") == F.col("_pos"))
+            & (F.col("x") == F.col("_x")),
+            "left_semi",
+        )
+        dsz = diag.groupBy("rid").agg(F.count(F.lit(1)).alias("_d")).join(
+            diag_pca.groupBy("rid").agg(F.count(F.lit(1)).alias("_dp")),
+            "rid", "left",
+        )
+        s5sizes = s5sizes.join(dsz, "rid", "left").select(
+            "rid",
+            (F.col("body_size") - F.coalesce(F.col("_d"), F.lit(0)))
+            .alias("body_size"),
+            (F.col("pca_body_size") - F.coalesce(F.col("_dp"), F.lit(0)))
+            .alias("pca_body_size"),
+        )
+    finish(R.where(F.col("shape") == "s5"), s5sizes)
+
+    # ---- instantiated-head shapes: head vars = the free var only ----
+    # pca: if higher side == free var's side -> restrict the free var;
+    # else the head CONSTANT occupies the higher side: it is an entity of p
+    # there by construction, so pcaBodySize == bodySize.
+    Ri = _head_var_pos(R)
+
+    def inst_finish(shape, bindings):
+        """bindings: (rid, v) distinct free-var bindings."""
+        shaped = Ri.where(F.col("shape") == shape)
+        meta = shaped.select("rid", "p", "hside", "fvpos")
+        bd = bindings.join(meta, "rid")
+        bs = bd.groupBy("rid").agg(F.count(F.lit(1)).alias("body_size"))
+        SEi = SE.select(F.col("p").alias("_p"), F.col("pos").alias("_pos"),
+                        F.col("x").alias("_v"))
+        restricted = bd.where(F.col("hside") == F.col("fvpos")).join(
+            SEi,
+            (F.col("p") == F.col("_p")) & (F.col("hside") == F.col("_pos"))
+            & (F.col("v") == F.col("_v")),
+            "left_semi",
+        ).groupBy("rid").agg(F.count(F.lit(1)).alias("_pcares"))
+        sizes = bs.join(restricted, "rid", "left").join(
+            meta.select("rid", (F.col("hside") == F.col("fvpos")).alias("_r")),
+            "rid",
+        ).select(
+            "rid", "body_size",
+            F.when(F.col("_r"), F.coalesce(F.col("_pcares"), F.lit(0)))
+            .otherwise(F.col("body_size")).alias("pca_body_size"),
+        )
+        finish(shaped, sizes)
+
+    fvar = F.when(_split(F.col("head"), 0).startswith("?"), "?a").otherwise("?b")
+    # Note: canonical naming uses ?b as free var for subject-constant heads
+    # and ?a for object-constant heads (constants.py), fresh var ?c.
+
+    # s6: one CAtom(fv)
+    s6 = Ri.where(F.col("shape") == "s6").select(
+        "rid", *_ca_cols(F.col("_inst")[0], "c1")
+    )
+    b6 = s6.join(
+        E.select(F.col("q2").alias("c1q2"), F.col("cst").alias("c1cst"),
+                 F.col("e").alias("c1e"), F.col("x").alias("v")),
+        ["c1q2", "c1cst", "c1e"],
+    ).select("rid", "v").distinct()
+    inst_finish("s6", b6)
+
+    # s9: two CAtoms(fv): intersection
+    s9 = Ri.where(F.col("shape") == "s9").select(
+        "rid", *_ca_cols(F.col("_inst")[0], "c1"),
+        *_ca_cols(F.col("_inst")[1], "c2"),
+    )
+    b9 = s9.join(
+        E.select(F.col("q2").alias("c1q2"), F.col("cst").alias("c1cst"),
+                 F.col("e").alias("c1e"), F.col("x").alias("v")),
+        ["c1q2", "c1cst", "c1e"],
+    ).join(
+        E.select(F.col("q2").alias("c2q2"), F.col("cst").alias("c2cst"),
+                 F.col("e").alias("c2e"), F.col("x").alias("v")),
+        ["c2q2", "c2cst", "c2e", "v"],
+    ).select("rid", "v").distinct()
+    inst_finish("s9", b9)
+
+    # s7 / s8: VV(fv, ?c) [+ VV or CAtom on ?c]
+    for shape in ("s7", "s8"):
+        shaped = Ri.where(F.col("shape") == shape)
+        fv = fvar
+        comp = shaped.select(
+            "rid", fv.alias("_fv"),
+            *_vv_cols(F.col("_vv")[0], fv, "a1"),
+            *(
+                _vv_cols(F.col("_vv")[1], fv, "a2")
+                if shape == "s7"
+                else _ca_cols(F.col("_inst")[0], "c1")
+            ),
+        )
+        j1 = comp.join(
+            b.select(F.col("q").alias("a1q"), F.col("d").alias("a1d"),
+                     F.col("x").alias("v"), F.col("y").alias("vc")),
+            ["a1q", "a1d"],
+        )
+        if shape == "s7":
+            jj = j1.join(
+                b.select(F.col("q").alias("a2q"), F.col("d").alias("a2d"),
+                         F.col("x").alias("v"), F.col("y").alias("vc")),
+                ["a2q", "a2d", "v", "vc"],
+            )
+        else:
+            jj = j1.join(
+                E.select(F.col("q2").alias("c1q2"), F.col("cst").alias("c1cst"),
+                         F.col("e").alias("c1e"), F.col("x").alias("vc")),
+                ["c1q2", "c1cst", "c1e", "vc"],
+            )
+        if injective:
+            jj = jj.where(F.col("v") != F.col("vc"))
+        inst_finish(shape, jj.select("rid", "v").distinct())
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.withColumn(
+        "cwa_confidence", F.col("support") / F.col("body_size")
+    ).withColumn(
+        "pca_confidence", F.col("support") / F.col("pca_body_size")
+    )

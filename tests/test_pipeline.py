@@ -167,3 +167,33 @@ def test_synth_kg_deterministic_with_planted_rules(spark):
     # and inverse partner rules (d1='i')
     assert any(d == "i" for _, _, d in got)
     t.unpersist()
+
+
+def test_sameas_fixture_goldens(spark):
+    """Reference IndexSpec.scala:105-116 on sameastest.tsv: 9 triples ->
+    after owl:sameAs resolution 6 distinct triples, 2 subjects,
+    1 predicate, 5 objects (reference core:index/TripleItemHashIndex
+    .scala:68-82 semantics; counts invariant under representative choice)."""
+    from pyspark.sql import functions as F
+
+    from rdfrules_spark.canonicalize import canonicalize_triples
+    from rdfrules_spark.sources.tsv import read_tsv
+
+    g = read_tsv(
+        spark, "/root/reference/core/src/test/resources/sameastest.tsv"
+    ).select("s", "p", "o")
+    assert g.count() == 9  # GraphSpec graph.size
+    sameas = g.where(F.col("p") == "owl:sameAs").select(
+        F.col("s").alias("a"), F.col("o").alias("b")
+    )
+    rels = g.where(F.col("p") != "owl:sameAs")
+    canon, _ = canonicalize_triples(rels, sameas, rewrite_predicates=True)
+    t = canon.distinct().cache()
+    assert t.count() == 6
+    row = t.agg(
+        F.countDistinct("s").alias("ns"),
+        F.countDistinct("p").alias("np"),
+        F.countDistinct("o").alias("no"),
+    ).first()
+    assert (row.ns, row.np, row.no) == (2, 1, 5)
+    t.unpersist()

@@ -1,0 +1,60 @@
+"""RulesetSpec.scala confidence goldens on the constants=LowerCardinalitySide
+ruleset (minHC 0.02, no duplicate predicates): the reference's
+Ruleset.computeConfidence defaults to injectiveMapping=true (Ruleset
+.scala:186) even though mining counts support non-injectively."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from rdfrules_spark.mining.amie import MiningParams
+from rdfrules_spark.mining.constants import mine_constants
+from rdfrules_spark.mining.measures_constants import confidences_constants
+
+YAGO = "/root/reference/core/src/test/resources/yago.tsv"
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(YAGO), reason="yago fixture absent"
+)
+
+
+@pytest.fixture(scope="module")
+def conf(spark):
+    from rdfrules_spark.sources.tsv import read_tsv
+
+    t = read_tsv(spark, YAGO).select("s", "p", "o").distinct().cache()
+    params = MiningParams(min_head_size=100, min_support=1,
+                          min_head_coverage=0.02,
+                          with_duplicate_predicates=False)
+    rules = mine_constants(t, params, constants="lcs").cache()
+    c = confidences_constants(rules, t, injective=True).cache()
+    yield rules, c
+    c.unpersist()
+    rules.unpersist()
+    t.unpersist()
+
+
+def test_support_filter_2(conf):
+    # RulesetSpec.scala:93-95
+    rules, _ = conf
+    assert rules.where("support > 100").count() == 2
+
+
+def test_cwa_confidence_goldens(conf):
+    # RulesetSpec.scala:46-53: >=0.9 -> 12; floor 0.001 -> 810
+    _, c = conf
+    assert c.where("cwa_confidence >= 0.9").count() == 12
+    assert c.where("cwa_confidence >= 0.001").count() == 810
+
+
+def test_pca_confidence_57(conf):
+    # RulesetSpec.scala:55-59
+    _, c = conf
+    assert c.where("pca_confidence >= 0.9").count() == 57
+
+
+def test_lift_base_105(conf):
+    # RulesetSpec.scala:61-70: computeLift keeps rules with CWA conf >= 0.5
+    _, c = conf
+    assert c.where("cwa_confidence >= 0.5").count() == 105
