@@ -73,6 +73,13 @@ def write_stage(
         return spark.read.parquet(data_path)
 
     os.makedirs(path, exist_ok=True)
+    # invalidate FIRST: the old manifest must be gone before any data byte
+    # changes, else a crash mid-overwrite leaves the previous fingerprint's
+    # manifest next to partial new data and a later run with that old
+    # fingerprint (e.g. a reverted parameter) would resume the corrupt stage
+    mpath = os.path.join(path, "_MANIFEST.json")
+    if os.path.exists(mpath):
+        os.remove(mpath)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -90,9 +97,11 @@ def write_stage(
     n_rows = sum(m["rows"] for m in metrics)
     with open(os.path.join(path, "_METRICS.json"), "w") as f:
         json.dump(metrics, f)
-    # manifest LAST: its presence-and-match is the commit point, so a crash
-    # mid-write never leaves a resumable-but-corrupt stage
-    with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
+    # manifest LAST (and removed before the overwrite above): its
+    # presence-and-match is the commit point, so a crash at ANY point
+    # between invalidation and here leaves a non-resumable stage, never a
+    # resumable-but-corrupt one
+    with open(mpath, "w") as f:
         json.dump(
             {
                 "name": name,

@@ -51,11 +51,14 @@ def alias_candidates(spark: SparkSession, n_entities: int) -> DataFrame:
 
 def score_candidates_udf(candidates: DataFrame) -> DataFrame:
     """Hook: Arrow-batched pandas UDF re-scoring (stand-in for a real linker
-    model — deterministic here: tie-break on candidate IRI)."""
+    model — deterministic here: tie-break on candidate IRI via the repo's
+    md5-based h60_py, NOT Python hash() whose value depends on
+    PYTHONHASHSEED in each worker process)."""
+    from rdfrules_spark.functions.hashing import h60_py
 
     @F.pandas_udf("double")
     def rescore(score: pd.Series, cand: pd.Series) -> pd.Series:
-        return score + (cand.map(hash) % 997) * 1e-12
+        return score + (cand.map(h60_py) % 997) * 1e-12
 
     return candidates.withColumn("score", rescore("score", "cand_iri"))
 

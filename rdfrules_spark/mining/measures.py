@@ -153,11 +153,21 @@ def _pca_sizes(
     )
 
 
-def _l3v3_lower_bounds(triples: DataFrame, combos: DataFrame) -> DataFrame:
+def _l3v3_lower_bounds(
+    triples: DataFrame, combos: DataFrame, injective: bool = False
+) -> DataFrame:
     """Cheap per-combo lower bound on the l3v3 body size, WITHOUT the path
     join: for any shared-var value c, the pairs A_c x B_c are all distinct,
     so bodySize >= max_c |A_c| * |B_c|. Built from two degree tables (one
-    groupBy each) — O(|triples|), never O(sum deg^2)."""
+    groupBy each) — O(|triples|), never O(sum deg^2).
+
+    ``injective``: the injective body count excludes a=c, b=c and the a=b
+    diagonal, so the product bound would OVER-estimate it and wrongly prune
+    rules whose injective confidence meets the threshold. Use the sound
+    under-approximation max(0,|A_c|-2) * max(0,|B_c|-2): dropping a=c costs
+    <=1 from A_c, b=c <=1 from B_c, and the diagonal <= min side — together
+    bounded by shrinking each side by 2 (pairs >= (n1-1)(n2-1)-(n2-1)
+    >= (n1-2)(n2-2) for the nonneg case)."""
     b = _b(triples)
     d1 = b.groupBy(F.col("q"), F.col("d").alias("d1"), F.col("y").alias("c")).agg(
         F.count(F.lit(1)).alias("n1")
@@ -174,7 +184,13 @@ def _l3v3_lower_bounds(triples: DataFrame, combos: DataFrame) -> DataFrame:
             "c",
         )
         .groupBy("q", "d1", "r", "d2")
-        .agg(F.max(F.col("n1") * F.col("n2")).alias("lb_body_size"))
+        .agg(
+            F.max(
+                (F.greatest(F.col("n1") - 2, F.lit(0))
+                 * F.greatest(F.col("n2") - 2, F.lit(0)))
+                if injective else (F.col("n1") * F.col("n2"))
+            ).alias("lb_body_size")
+        )
     )
     return _combo_join(combos, prod, COMBO, "left")
 
@@ -212,7 +228,7 @@ def confidences(
         shaped = rules.where(F.col("shape") == shape)
         if shape == "l3v3" and min_confidence > 0.0:
             combos = shaped.select(*COMBO).distinct()
-            lbs = _l3v3_lower_bounds(triples, combos)
+            lbs = _l3v3_lower_bounds(triples, combos, injective=injective)
             shaped = _combo_join(shaped, lbs, COMBO, "left").where(
                 F.coalesce(F.col("lb_body_size"), F.lit(0))
                 <= F.col("support") / min_confidence
@@ -266,31 +282,35 @@ def lift(
 ) -> DataFrame:
     """Attach mode_probability + lift = confidence / modeProbability
     (RuleCounting.scala:127-141; modeProbability per
-    core:index/TripleIndex.scala:114-117: the lowerCardinalitySide's most
-    frequent entity's non-reflexive fact count / non-reflexive size).
+    core:index/TripleIndex.scala:113-117: the lowerCardinalitySide's most
+    frequent entity's fact count / predicate size, both INCLUDING reflexive
+    triples — mode() and the denominator use size(false), i.e. full counts
+    (IndexCollections.scala:32). lowerCardinalitySide is Object when
+    subjectRelativeCardinality >= objectRelativeCardinality
+    (TripleIndex.scala:155-159), so the subject mode applies only at
+    ns < no — strict, ties go to the object mode.
     Variable-only heads (this tier); constant heads use per-constant
     probabilities in the reference."""
-    nonrefl = triples.where(F.col("s") != F.col("o"))
     card = triples.groupBy("p").agg(
         F.countDistinct("s").alias("ns"), F.countDistinct("o").alias("no")
     )
     smode = (
-        nonrefl.groupBy("p", "s").agg(F.count(F.lit(1)).alias("c"))
+        triples.groupBy("p", "s").agg(F.count(F.lit(1)).alias("c"))
         .groupBy("p").agg(F.max("c").alias("smode"))
     )
     omode = (
-        nonrefl.groupBy("p", "o").agg(F.count(F.lit(1)).alias("c"))
+        triples.groupBy("p", "o").agg(F.count(F.lit(1)).alias("c"))
         .groupBy("p").agg(F.max("c").alias("omode"))
     )
-    size_nr = nonrefl.groupBy("p").agg(F.count(F.lit(1)).alias("size_nr"))
+    size_full = triples.groupBy("p").agg(F.count(F.lit(1)).alias("size_full"))
     mp = (
         card.join(smode, "p", "left").join(omode, "p", "left")
-        .join(size_nr, "p", "left")
+        .join(size_full, "p", "left")
         .select(
             "p",
             (
-                F.when(F.col("ns") <= F.col("no"), F.col("smode"))
-                .otherwise(F.col("omode")) / F.col("size_nr")
+                F.when(F.col("ns") < F.col("no"), F.col("smode"))
+                .otherwise(F.col("omode")) / F.col("size_full")
             ).alias("mode_probability"),
         )
     )

@@ -11,11 +11,17 @@ embedding_near_dup — cosine near-duplicates over an embedding column.
 Scale notes (the reason these shapes were chosen):
   * every pair-generation step goes through a *bucket join* (shingle, band,
     or hamming-chunk key) — never a cross join;
-  * bucket keys are salted implicitly by their content hash: a degenerate
-    shingle shared by everything ("the") is removed by the per-bucket
-    frequency cap `max_bucket` (the classic LSH hot-bucket guard);
+  * a degenerate bucket (e.g. every near-empty doc hashing to the same band
+    key, or a boilerplate shingle shared by 1M docs) makes that bucket's
+    self-join O(n^2). Every pair generator therefore takes a per-bucket
+    membership cap ``max_bucket`` (for :func:`ngram_jaccard_pairs` the
+    analogous shingle document-frequency cap ``max_df``): buckets above the
+    cap are DROPPED before the self-join — the classic LSH hot-bucket
+    guard. The cap is never silent: :func:`hot_bucket_report` returns the
+    dropped buckets with their sizes for the same inputs, so a pipeline can
+    materialize/log exactly what was skipped.
   * all hashes are md5-60bit (functions/hashing.py) so the DuckDB oracle
-    reproduces candidates exactly.
+    reproduces candidates exactly (the oracle SQL applies the same cap).
 """
 
 from __future__ import annotations
@@ -25,6 +31,42 @@ from pyspark.sql import functions as F
 
 from rdfrules_spark.functions.hashing import P, h60, hk
 from rdfrules_spark.operators.textops import tokens
+
+#: default per-bucket membership cap for all LSH pair generators. 1000 keeps
+#: the worst bucket's self-join at <=10^6 candidate pairs per bucket — cheap
+#: for one task — while far exceeding any genuine near-dup cluster we want.
+DEFAULT_MAX_BUCKET = 1000
+
+
+def _cap_buckets(
+    buckets: DataFrame, keys: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Drop rows of buckets whose key has > max_bucket members.
+
+    One groupBy (map-side combinable, output = #buckets rows) + a semi-join
+    on the same key the pair join shuffles on — no extra shuffle pattern.
+    """
+    if max_bucket is None:
+        return buckets
+    ok = (
+        buckets.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+    return buckets.join(ok, keys, "left_semi")
+
+
+def hot_bucket_report(
+    buckets: DataFrame, keys: list[str], max_bucket: int
+) -> DataFrame:
+    """(key..., n_members) for every bucket the cap would drop — the
+    observability side of _cap_buckets ("no silent caps")."""
+    return (
+        buckets.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .where(F.col("n_members") > max_bucket)
+    )
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -73,12 +115,14 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
 
     band bucket key = struct(band_no, hash(minhashes of the band)); docs
     sharing any band bucket become candidates; est_jaccard = fraction of
-    equal signature components.
+    equal signature components. Band buckets with > max_bucket members are
+    dropped before the self-join (hot-bucket guard, see module docstring).
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
@@ -96,7 +140,9 @@ def minhash_lsh_pairs(
             ]
         )
     )
-    buckets = sig.select("*", band_key.alias("bk"))
+    buckets = _cap_buckets(
+        sig.select("*", band_key.alias("bk")), ["bk"], max_bucket
+    )
     left = buckets.select(
         F.col("bk"), F.col("id").alias("id_a"),
         *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)],
@@ -121,14 +167,24 @@ def minhash_lsh_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing >=1 shingle.
 
     |A∩B| from the shingle co-occurrence join; |A∪B| = |A|+|B|−|A∩B|.
+
+    ``max_df``: shingles appearing in more than max_df documents are removed
+    BEFORE the co-occurrence self-join (the standard exact-Jaccard df-cap: a
+    boilerplate shingle shared by 1M docs would make the join O(df^2)).
+    Jaccard is then computed over the capped shingle universe — both the
+    intersection AND the per-doc sizes exclude stop-shingles, so the measure
+    stays a true Jaccard on the reduced sets. Pass None for the uncapped
+    exact measure (small data / oracle mode).
     """
     ex = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("sh")
     ).distinct()
+    ex = _cap_buckets(ex, ["sh"], max_df)
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         ex.alias("a")
@@ -188,10 +244,12 @@ def simhash(text_col: str, bits: int = SIMHASH_BITS) -> "F.Column":
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 2
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 2,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs within Hamming distance d over SimHash, banded by the
-    three 16-bit chunks (any pair within d<=2 shares at least one chunk)."""
+    three 16-bit chunks (any pair within d<=2 shares at least one chunk).
+    Chunk buckets with > max_bucket members are dropped (hot-bucket guard)."""
     sigs = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sig"))
     chunks = sigs.select(
         "id",
@@ -208,6 +266,7 @@ def simhash_near_dup_pairs(
             )
         ).alias("ck"),
     )
+    chunks = _cap_buckets(chunks, ["ck"], max_bucket)
     a = chunks.select("ck", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = chunks.select("ck", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
@@ -234,11 +293,13 @@ def lsh_planes(n_planes: int, dim: int) -> list[list[float]]:
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
     n_planes: int = 8, dim: int = 64,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Cosine near-duplicates over array<float> embeddings: random-hyperplane
     LSH bucket key (deterministic literal planes), then exact cosine within
     buckets. The plane dot products and cosines are ordered double folds —
-    bit-identical across engines."""
+    bit-identical across engines. Buckets with > max_bucket members are
+    dropped (hot-bucket guard — e.g. the all-zero-embedding bucket)."""
     planes = lsh_planes(n_planes, dim)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     key = F.concat_ws(
@@ -260,7 +321,10 @@ def embedding_near_dup_pairs(
             for i in range(n_planes)
         ],
     )
-    with_key = df.select(F.col(id_col).alias("id"), vec_d.alias("v"), key.alias("bk"))
+    with_key = _cap_buckets(
+        df.select(F.col(id_col).alias("id"), vec_d.alias("v"), key.alias("bk")),
+        ["bk"], max_bucket,
+    )
     a = with_key.select("bk", F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = with_key.select("bk", F.col("id").alias("id_b"), F.col("v").alias("vb"))
     dot = F.aggregate(

@@ -171,12 +171,38 @@ def prediction_tasks(
 
 
 def evaluate_ranking(
-    ranked_tasks: DataFrame, test: DataFrame, ks: tuple[int, ...] = (1, 3, 10)
+    ranked_tasks: DataFrame,
+    test: DataFrame,
+    ks: tuple[int, ...] = (1, 3, 10),
+    train: DataFrame | None = None,
 ) -> DataFrame:
     """hits@k / MR / MRR: rank of each true test triple among its task's
-    candidates (unranked true triples count as a miss, FromTest mode)."""
-    side = ranked_tasks.select("p", "predict_side").distinct()
-    truth = test.select("s", "p", "o").join(side, "p").select(
+    candidates (unranked true triples count as a miss, FromTest mode:
+    eval/RankingEvaluationBuilder.scala:6-64 counts EVERY test triple).
+
+    ``train``: training triples used to derive each predicate's predicted
+    side with the same lowerCardinalitySide rule as prediction_tasks. When
+    given, test triples of predicates with zero ranked tasks still enter the
+    denominator as misses (predicates unseen in train default to the object
+    side); deriving sides from ranked_tasks alone would silently drop those
+    triples and inflate hits@k / MRR."""
+    if train is not None:
+        side = train.groupBy("p").agg(
+            F.countDistinct("s").alias("ns"), F.countDistinct("o").alias("no")
+        ).select(
+            "p",
+            F.when(F.col("ns") < F.col("no"), "subject").otherwise("object")
+            .alias("predict_side"),
+        )
+        truth_base = test.select("s", "p", "o").join(
+            F.broadcast(side), "p", "left"
+        ).withColumn(
+            "predict_side", F.coalesce(F.col("predict_side"), F.lit("object"))
+        )
+    else:
+        side = ranked_tasks.select("p", "predict_side").distinct()
+        truth_base = test.select("s", "p", "o").join(side, "p")
+    truth = truth_base.select(
         "p", "predict_side",
         F.when(F.col("predict_side") == "subject", F.col("o")).otherwise(F.col("s"))
         .alias("fixed_entity"),

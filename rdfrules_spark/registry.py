@@ -393,18 +393,13 @@ def q_equidistance_intervals(spark, sf_dir):
     """,
 )
 def q_equifrequency_intervals(spark, sf_dir):
-    from pyspark.sql import Window
+    # scale-safe exact ntile (per-partition-offset global rank — no
+    # single-partition window); lo/hi/cnt are tie-order-invariant so the
+    # ntile oracle matches bit-for-bit
+    from rdfrules_spark.operators.discretize import equifrequency_intervals
 
-    li = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy(
-        F.col("l_quantity").cast("double"), "l_orderkey", "l_linenumber"
-    )
-    tiled = li.select(
-        F.col("l_quantity").cast("double").alias("v"),
-        (F.ntile(5).over(w) - 1).alias("bin"),
-    )
-    return tiled.groupBy("bin").agg(
-        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count(F.lit(1)).alias("cnt")
+    return equifrequency_intervals(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", 5
     )
 
 
@@ -445,6 +440,84 @@ def q_discretize_rewrite(spark, sf_dir):
         .select(lit.alias("interval_lit"))
         .groupBy("interval_lit")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_EQS_HIST_SQL = """
+    hist as (select cast(l_quantity as double) as v, count(*) as c
+             from lineitem group by 1),
+    cum as (select v, c, sum(c) over (order by v) as cum from hist),
+    tot as (select sum(c) as n from hist)
+"""
+
+
+@register(
+    "equisize_intervals",
+    f"""
+    with recursive {_EQS_HIST_SQL},
+    params as (select greatest(cast(floor(n * 0.08) as bigint), 2) as s, n
+               from tot),
+    cuts(i, cut) as (
+      select 0, cast(0 as bigint)
+      union all
+      select i + 1,
+             (select min(cum) from cum, params where cum >= cut + s)
+      from cuts
+      where (select min(cum) from cum, params where cum >= cut + s)
+            is not null
+    ),
+    adj as (select i,
+                   case when i > 0 and i = (select max(i) from cuts)
+                             and cut < (select n from tot)
+                        then (select n from tot) else cut end as cut
+            from cuts
+            union all
+            select 1, n from tot where (select max(i) from cuts) = 0),
+    iv as (select a.i - 1 as bin, b.cut as lo_c, a.cut as hi_c
+           from adj a join adj b on b.i = a.i - 1)
+    select bin,
+           (select min(v) from cum where cum > lo_c) as lo,
+           (select max(v) from cum where cum <= hi_c) as hi,
+           hi_c - lo_c as cnt
+    from iv
+    """,
+)
+def q_equisize_intervals(spark, sf_dir):
+    """Equisize discretization (DiscretizationTask.Equisize, greedy
+    support-floor intervals over the sorted value histogram)."""
+    from rdfrules_spark.operators.discretize import equisize_intervals
+
+    return equisize_intervals(_t(spark, sf_dir, "lineitem"), "l_quantity", 0.08)
+
+
+@register(
+    "equisize_tree_intervals",
+    f"""
+    with recursive {_EQS_HIST_SQL},
+    params as (select greatest(cast(floor(n * 0.1) as bigint), 2) as s
+               from tot),
+    nodes(lo, hi) as (
+      select cast(0 as bigint), n from tot
+      union all
+      select lo + ((hi - lo) * j) // 2, lo + ((hi - lo) * (j + 1)) // 2
+      from nodes, unnest([0, 1]) as u(j), params
+      where (hi - lo) // 2 >= s
+    ),
+    leaves as (select lo, hi from nodes, params where (hi - lo) // 2 < s)
+    select row_number() over (order by lo) - 1 as bin,
+           (select min(v) from cum where cum > lo) as lo,
+           (select min(v) from cum where cum > hi - 1) as hi,
+           hi - lo as cnt
+    from leaves
+    """,
+)
+def q_equisize_tree_intervals(spark, sf_dir):
+    """EquisizeTree discretization (DiscretizationTask.EquisizeTree,
+    recursive arity-2 rank splits while both children hold >= support)."""
+    from rdfrules_spark.operators.discretize import equisize_tree_intervals
+
+    return equisize_tree_intervals(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", 0.1, arity=2
     )
 
 
@@ -695,9 +768,12 @@ def q_minhash_signatures(spark, sf_dir):
     f"""
     with {_SHINGLES_SQL},
     sig as (select doc_id as id, {_MH_MINS} from sh group by doc_id),
-    bands as (select id, b, case b {_MH_BANDS} end as key,
+    bands0 as (select id, b, case b {_MH_BANDS} end as key,
                      {", ".join(f"mh_{i}" for i in range(8))}
               from sig, unnest([0, 1, 2, 3]) as u(b)),
+    okb as (select b, key from bands0 group by b, key
+            having count(*) <= 1000),
+    bands as (select bands0.* from bands0 join okb using (b, key)),
     cand as (
       select distinct a.id as id_a, b.id as id_b,
              ({" + ".join(f"(case when a.mh_{i} = b.mh_{i} then 1 else 0 end)" for i in range(8))})
@@ -718,9 +794,11 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     "ngram_jaccard_pairs",
     f"""
     with {_SHINGLES_SQL},
-    sizes as (select doc_id, count(*) as n from sh group by doc_id),
+    oks as (select sh from sh group by sh having count(*) <= 1000),
+    shc as (select sh.* from sh join oks using (sh)),
+    sizes as (select doc_id, count(*) as n from shc group by doc_id),
     inter as (select a.doc_id as id_a, b.doc_id as id_b, count(*) as inter
-              from sh a join sh b on a.sh = b.sh and a.doc_id < b.doc_id
+              from shc a join shc b on a.sh = b.sh and a.doc_id < b.doc_id
               group by 1, 2)
     select id_a, id_b,
            inter / (sa.n + sb.n - inter) as jaccard
@@ -774,9 +852,12 @@ def q_simhash_signatures(spark, sf_dir):
                    cast(sum(case when c > 0 then (cast(1 as bigint) << j)
                             else 0 end) as bigint) as sig
             from bits group by doc_id),
-    chunks as (select doc_id, sig, c,
+    chunks0 as (select doc_id, sig, c,
                       (sig >> (16 * c)) & 65535 as v
                from sig, unnest([0, 1, 2]) as u(c)),
+    okc as (select c, v from chunks0 group by c, v
+            having count(*) <= 1000),
+    chunks as (select chunks0.* from chunks0 join okc using (c, v)),
     cand as (select distinct a.doc_id as id_a, b.doc_id as id_b,
                     bit_count(xor(a.sig, b.sig)) as hamming
              from chunks a join chunks b
@@ -821,7 +902,9 @@ def _emb_lsh_oracle() -> str:
     key = "concat(" + ", ".join(sign(i) for i in range(8)) + ")"
     return f"""
     with v as (select vec_id, {_VD} as ve from embeddings),
-    keyed as (select vec_id, ve, {key} as bk from v)
+    keyed0 as (select vec_id, ve, {key} as bk from v),
+    okk as (select bk from keyed0 group by bk having count(*) <= 1000),
+    keyed as (select keyed0.* from keyed0 join okk using (bk))
     select distinct a.vec_id as id_a, b.vec_id as id_b,
            {_dot_sql('a.ve', 'b.ve')} / ({_norm_sql('a.ve')} * {_norm_sql('b.ve')})
              as cosine
@@ -1349,13 +1432,13 @@ def q_cba_prune_l2(spark, sf_dir):
                  order by score desc, candidate asc) as rank
                from tasks),
     topk as (select * from ranked where rank <= 10),
-    sides as (select distinct p, predict_side from topk),
-    truth as (select te.p, sd.predict_side,
-                     case when sd.predict_side = 'subject' then te.o
-                          else te.s end as fixed_entity,
-                     case when sd.predict_side = 'subject' then te.s
-                          else te.o end as candidate
-              from test te join sides sd on sd.p = te.p),
+    truth as (select te.p,
+                     coalesce(sd.predict_side, 'object') as predict_side,
+                     case when coalesce(sd.predict_side, 'object') = 'subject'
+                          then te.o else te.s end as fixed_entity,
+                     case when coalesce(sd.predict_side, 'object') = 'subject'
+                          then te.s else te.o end as candidate
+              from test te left join pside sd on sd.p = te.p),
     j as (select tr.*, tk.rank
           from truth tr
           left join topk tk
@@ -1395,7 +1478,7 @@ def q_rank_eval_l2(spark, sf_dir):
     rules = cwa_confidence(mine_l2(train, heads, params), train)
     scored = score_predictions(predict_triples(rules, train))
     ranked = prediction_tasks(scored, train, top_k=10, score_col="max_score")
-    out = evaluate_ranking(ranked, test, ks=(1, 3, 10))
+    out = evaluate_ranking(ranked, test, ks=(1, 3, 10), train=train)
     return out.select(
         "n_tasks",
         F.round("mrr", 6).alias("mrr"),
@@ -1428,19 +1511,18 @@ def q_rule_dbscan_clusters(spark, sf_dir):
     "lift_l2",
     f"""
     with {_L2_CONF_SQL},
-    nonrefl as (select * from t where s <> o),
     card as (select p, count(distinct s) as ns, count(distinct o) as no
              from t group by p),
     smode as (select p, max(c) as smode from
-              (select p, s, count(*) as c from nonrefl group by p, s)
+              (select p, s, count(*) as c from t group by p, s)
               group by p),
     omode as (select p, max(c) as omode from
-              (select p, o, count(*) as c from nonrefl group by p, o)
+              (select p, o, count(*) as c from t group by p, o)
               group by p),
-    sz as (select p, count(*) as size_nr from nonrefl group by p),
+    sz as (select p, count(*) as size_full from t group by p),
     mp as (select card.p,
-                  (case when ns <= no then smode else omode end)
-                  / size_nr as mode_probability
+                  (case when ns < no then smode else omode end)
+                  / size_full as mode_probability
            from card join smode using (p) join omode using (p)
            join sz using (p))
     select r.p, r.q, r.d1, r.support, mp.mode_probability,
