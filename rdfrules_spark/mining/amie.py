@@ -179,8 +179,12 @@ def mine_l3_3var(
 
 
 def mine(triples: DataFrame, params: MiningParams | None = None) -> DataFrame:
-    """Full constants-free mining run. `triples` must be distinct (s,p,o);
-    callers dedup (the triple store is distinct by construction)."""
+    """Full constants-free mining run for maxRuleLength <= 3 (the staged
+    L2/L3 shapes below). For maxRuleLength >= 4 use
+    :func:`rdfrules_spark.mining.shapes.mine_upto` — the generic shape
+    miner (same semantics at L<=3, generalized body encoding).
+    `triples` must be distinct (s,p,o); callers dedup (the triple store is
+    distinct by construction)."""
     params = params or MiningParams()
     # OnlyPredicates/WithoutPredicates constrain ALL atoms (head and body),
     # reference core:rule/RuleConstraint.scala:28-104 via

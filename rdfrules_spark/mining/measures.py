@@ -267,6 +267,85 @@ def confidences(
     return out
 
 
+def qpca_confidence(
+    rules: DataFrame, triples: DataFrame, injective: bool = False
+) -> DataFrame:
+    """Attach qpca_body_size + qpca_confidence (RuleCounting.scala:298-380).
+
+    QPCA counts the distinct predicted head pairs of the body, but caps the
+    NEGATIVE examples per head entity on the higherCardinalitySide by that
+    entity's remaining "cardinality budget": an entity with existing
+    cardinality e (distinct partners for the head predicate) absorbs
+    max(0, A - e) negatives for free, where A = averageCardinality of the
+    predicate on that side (round(size / #distinct entities),
+    TripleIndex.scala:97-109); positives always count. The reference's
+    sequential budget loop is order-independent, so the whole measure is
+    one aggregation:
+
+      qpca_body_size = sum over entities of
+        pos_e + max(0, neg_e - max(0, A - e_card))
+    """
+    side = _head_side(triples)  # higherCardinalitySide per predicate
+    # per-(p, side-entity) existing cardinality + per-p average cardinality
+    scard = triples.groupBy("p", F.col("s").alias("ent")).agg(
+        F.countDistinct("o").alias("ecard")
+    ).withColumn("eside", F.lit("subject"))
+    ocard = triples.groupBy("p", F.col("o").alias("ent")).agg(
+        F.countDistinct("s").alias("ecard")
+    ).withColumn("eside", F.lit("object"))
+    ecards = scard.unionByName(ocard)
+    avg_c = triples.groupBy("p").agg(
+        F.round(F.count(F.lit(1)) / F.countDistinct("s")).cast("long").alias("avg_s"),
+        F.round(F.count(F.lit(1)) / F.countDistinct("o")).cast("long").alias("avg_o"),
+    ).join(side, "p").select(
+        "p",
+        F.when(F.col("side") == "subject", F.col("avg_s"))
+        .otherwise(F.col("avg_o")).alias("avg_card"),
+    )
+    head = triples.select("p", F.col("s").alias("a"), F.col("o").alias("b"))
+    out = None
+    for shape in ("l2", "l3v2", "l3v3"):
+        shaped = rules.where(F.col("shape") == shape)
+        pairs = body_pairs(triples, shaped, shape, injective=injective)
+        combo_heads = shaped.select("p", *COMBO).join(F.broadcast(side), "p")
+        expanded = _combo_join(pairs, combo_heads, COMBO, broadcast_right=True)
+        tagged = expanded.join(
+            head.withColumn("_pos", F.lit(True)), ["p", "a", "b"], "left"
+        ).withColumn("_pos", F.coalesce(F.col("_pos"), F.lit(False)))
+        ent = F.when(F.col("side") == "subject", F.col("a")).otherwise(F.col("b"))
+        per_ent = tagged.groupBy(
+            "p", *COMBO, F.col("side").alias("eside"), ent.alias("ent")
+        ).agg(
+            F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("pos"),
+            F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("neg"),
+        )
+        sized = (
+            per_ent.join(ecards, ["p", "eside", "ent"], "left")
+            .withColumn("ecard", F.coalesce(F.col("ecard"), F.lit(0)))
+            .join(F.broadcast(avg_c), "p")
+            .withColumn(
+                "counted",
+                F.col("pos") + F.greatest(
+                    F.lit(0),
+                    F.col("neg") - F.greatest(
+                        F.lit(0), F.col("avg_card") - F.col("ecard")
+                    ),
+                ),
+            )
+            .groupBy("p", *COMBO)
+            .agg(F.sum("counted").alias("qpca_body_size"))
+            .localCheckpoint(eager=True)
+        )
+        withsize = _combo_join(shaped, sized, ["p", *COMBO], "left")
+        out = withsize if out is None else out.unionByName(withsize)
+    return out.withColumn(
+        "qpca_confidence",
+        F.when(
+            F.coalesce(F.col("qpca_body_size"), F.lit(0)) == 0, F.lit(0.0)
+        ).otherwise(F.col("support") / F.col("qpca_body_size")),
+    )
+
+
 def cwa_confidence(rules: DataFrame, triples: DataFrame) -> DataFrame:
     """Attach body_size + cwa_confidence to every rule."""
     return confidences(rules, triples, cwa=True, pca=False)

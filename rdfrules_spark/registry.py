@@ -1247,6 +1247,134 @@ def q_mine_l3_3var_rules(spark, sf_dir):
     return mine_l3_3var(t, heads, params)
 
 
+_L4_PREDS = "('join', 'scan', 'filter', 'hash')"
+
+@register(
+    "mine_l4_rules",
+    f"""
+    with {_KG_W_SQL},
+    t as (select distinct concat('w:', s_surf) as s, p, concat('w:', o_surf) as o
+          from w where p in {_L4_PREDS}),
+    heads as (select p, count(*) as head_size from t group by p
+              having count(*) >= 50),
+    b as (select s as x, o as y, p as q, 'f' as d from t
+          union all
+          select o as x, s as y, p as q, 'i' as d from t),
+    m as (select t.p, t.s as a, t.o as bb, b.q, b.d
+          from t join b on t.s = b.x and t.o = b.y
+          where b.q <> t.p or b.d <> 'f'),
+    ac as (select t.p, t.s as a, t.o as bb, b.y as c, b.q, b.d
+           from t join b on t.s = b.x),
+    bc as (select t.p, t.s as a, t.o as bb, b.y as c, b.q, b.d
+           from t join b on t.o = b.x),
+    s_v2 as (
+      select m0.p, 'ab-ab-ab' as shape,
+             concat('ab ', m0.q, ' ', m0.d, ';ab ', m1.q, ' ', m1.d,
+                    ';ab ', m2.q, ' ', m2.d) as body,
+             count(*) as support
+      from m m0
+      join m m1 on m0.p = m1.p and m0.a = m1.a and m0.bb = m1.bb
+      join m m2 on m0.p = m2.p and m0.a = m2.a and m0.bb = m2.bb
+      where (m0.q, m0.d) < (m1.q, m1.d) and (m1.q, m1.d) < (m2.q, m2.d)
+      group by 1, 3),
+    s_abacac as (
+      select m0.p, 'ab-ac-ac' as shape,
+             concat('ab ', m0.q, ' ', m0.d, ';ac ', a1.q, ' ', a1.d,
+                    ';ac ', a2.q, ' ', a2.d) as body,
+             count(distinct (m0.a, m0.bb)) as support
+      from m m0
+      join ac a1 on m0.p = a1.p and m0.a = a1.a and m0.bb = a1.bb
+      join ac a2 on a1.p = a2.p and a1.a = a2.a and a1.bb = a2.bb
+                and a1.c = a2.c
+      where (a1.q, a1.d) < (a2.q, a2.d)
+      group by 1, 3),
+    s_abacbc as (
+      select m0.p, 'ab-ac-bc' as shape,
+             concat('ab ', m0.q, ' ', m0.d, ';ac ', a1.q, ' ', a1.d,
+                    ';bc ', b1.q, ' ', b1.d) as body,
+             count(distinct (m0.a, m0.bb)) as support
+      from m m0
+      join ac a1 on m0.p = a1.p and m0.a = a1.a and m0.bb = a1.bb
+      join bc b1 on a1.p = b1.p and a1.a = b1.a and a1.bb = b1.bb
+                and a1.c = b1.c
+      group by 1, 3),
+    s_abbcbc as (
+      select m0.p, 'ab-bc-bc' as shape,
+             concat('ab ', m0.q, ' ', m0.d, ';bc ', b1.q, ' ', b1.d,
+                    ';bc ', b2.q, ' ', b2.d) as body,
+             count(distinct (m0.a, m0.bb)) as support
+      from m m0
+      join bc b1 on m0.p = b1.p and m0.a = b1.a and m0.bb = b1.bb
+      join bc b2 on b1.p = b2.p and b1.a = b2.a and b1.bb = b2.bb
+                and b1.c = b2.c
+      where (b1.q, b1.d) < (b2.q, b2.d)
+      group by 1, 3),
+    s_acacbc as (
+      select a1.p, 'ac-ac-bc' as shape,
+             concat('ac ', a1.q, ' ', a1.d, ';ac ', a2.q, ' ', a2.d,
+                    ';bc ', b1.q, ' ', b1.d) as body,
+             count(distinct (a1.a, a1.bb)) as support
+      from ac a1
+      join ac a2 on a1.p = a2.p and a1.a = a2.a and a1.bb = a2.bb
+                and a1.c = a2.c
+      join bc b1 on a1.p = b1.p and a1.a = b1.a and a1.bb = b1.bb
+                and a1.c = b1.c
+      where (a1.q, a1.d) < (a2.q, a2.d)
+      group by 1, 3),
+    s_acbcbc as (
+      select a1.p, 'ac-bc-bc' as shape,
+             concat('ac ', a1.q, ' ', a1.d, ';bc ', b1.q, ' ', b1.d,
+                    ';bc ', b2.q, ' ', b2.d) as body,
+             count(distinct (a1.a, a1.bb)) as support
+      from ac a1
+      join bc b1 on a1.p = b1.p and a1.a = b1.a and a1.bb = b1.bb
+                and a1.c = b1.c
+      join bc b2 on b1.p = b2.p and b1.a = b2.a and b1.bb = b2.bb
+                and b1.c = b2.c
+      where (b1.q, b1.d) < (b2.q, b2.d)
+      group by 1, 3),
+    allr as (select * from s_v2 union all select * from s_abacac
+             union all select * from s_abacbc union all select * from s_abbcbc
+             union all select * from s_acacbc union all select * from s_acbcbc)
+    select allr.p, shape, body, head_size, support,
+           support / head_size as head_coverage
+    from allr join heads on allr.p = heads.p
+    where support >= 2 and support / head_size >= 0.1
+    """,
+)
+def q_mine_l4_rules(spark, sf_dir):
+    """Length-4 (three-body-atom) var-only rules over the synthetic KG —
+    the generic shape miner restricted to the reference-reachable L4
+    shapes (ac-bd-cd path excluded; pinned by the AmieSpec maxLen4=98
+    golden, see mining/shapes.py)."""
+    from rdfrules_spark.mining.amie import MiningParams, head_sizes
+    from rdfrules_spark.mining.shapes import (
+        enumerate_shapes,
+        mine_shape,
+        shape_reachable,
+    )
+
+    # the full synthetic KG is pathologically dense (30 subjects, avg
+    # degree ~250) — the L4 label-combination space explodes, so the
+    # registry entry mines a fixed 4-predicate slice (the yago golden in
+    # tests/test_l4_mining.py covers the full-graph case)
+    t = _kg_triples_df(spark, sf_dir).where(
+        F.col("p").isin("join", "scan", "filter", "hash")
+    )
+    params = MiningParams(
+        min_head_size=50, min_support=2, min_head_coverage=0.1,
+        max_rule_length=4,
+    )
+    heads = head_sizes(t, params)
+    out = None
+    for pairs in enumerate_shapes(3):
+        if not shape_reachable(pairs, 4):
+            continue
+        r = mine_shape(t, heads, pairs, params)
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 @register(
     "mine_l2_cwa_confidence",
     f"""
@@ -1325,6 +1453,59 @@ _L2_CONF_SQL = f"""
 
 _L2_PARAMS = dict(min_head_size=50, min_support=5, min_head_coverage=0.1,
                   max_rule_length=2)
+
+
+@register(
+    "qpca_l2",
+    f"""
+    with {_L2_CONF_SQL},
+    pairs as (select distinct r.p, r.q, r.d1, r.support, b.x as a, b.y as yb
+              from rules r join b on b.q = r.q and b.d = r.d1),
+    tg as (select pairs.*, sd.hc_side,
+                  case when k.s is not null then 1 else 0 end as pos
+           from pairs
+           join side sd on sd.p = pairs.p
+           left join (select distinct s, p, o from t) k
+             on k.p = pairs.p and k.s = pairs.a and k.o = pairs.yb),
+    perent as (select p, q, d1, support, hc_side,
+                      case when hc_side = 'subject' then a else yb end as ent,
+                      sum(pos) as pos, sum(1 - pos) as neg
+               from tg group by 1, 2, 3, 4, 5, 6),
+    ec as (select p, 'subject' as hc_side, s as ent,
+                  count(distinct o) as ecard from t group by 1, 3
+           union all
+           select p, 'object', o, count(distinct s) from t group by 1, 3),
+    avgc as (select t.p, case when sd.hc_side = 'subject'
+                              then round(count(*) / count(distinct t.s))
+                              else round(count(*) / count(distinct t.o))
+                         end as avg_card
+             from t join side sd on sd.p = t.p group by t.p, sd.hc_side),
+    sized as (select pe.p, pe.q, pe.d1, pe.support,
+                     cast(sum(pe.pos + greatest(0, pe.neg -
+                          greatest(0, av.avg_card - coalesce(ec.ecard, 0))))
+                          as bigint) as qpca_body_size
+              from perent pe
+              join avgc av on av.p = pe.p
+              left join ec on ec.p = pe.p and ec.hc_side = pe.hc_side
+                          and ec.ent = pe.ent
+              group by 1, 2, 3, 4)
+    select p, q, d1, support, qpca_body_size,
+           round(case when qpca_body_size = 0 then 0.0
+                      else support / qpca_body_size end, 6) as qpca_confidence
+    from sized
+    """,
+)
+def q_qpca_l2(spark, sf_dir):
+    """QPCA confidence (RuleCounting.scala:298-380): PCA with per-entity
+    negative budgets from the head predicate's average cardinality."""
+    from rdfrules_spark.mining.measures import qpca_confidence
+
+    t, rules = _l2_rules_conf(spark, sf_dir)
+    out = qpca_confidence(rules, t)
+    return out.select(
+        "p", "q", "d1", "support", "qpca_body_size",
+        F.round("qpca_confidence", 6).alias("qpca_confidence"),
+    )
 
 
 def _l2_rules_conf(spark, sf_dir):
