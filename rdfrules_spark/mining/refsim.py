@@ -8,10 +8,24 @@ declarative Spark miner and the reference BFS can be localized:
     — non-decreasing var-pair ordering, dangling-variable naming, the
     subjectIsLower/objectIsLower closability check, maxPossibleDanglings
     and maxDanglingVariables (= floor(2*maxLen/3), AmieSettings.scala:24),
-    last-atom closing restrictions;
-  * isValidFreshPredicate (FreshAtomGenerator.scala:52-88) — same-var-pair
+    last-atom restrictions (constants allow a dangling in the closing atom,
+    variables don't — RuleRefinement.scala:352 and checkLastAtom);
+  * the empirically pinned at-most-one-open-extra-dangling law: a fresh
+    atom may not open a NEW dangling while a non-head variable is still
+    dangling (AmieSpec maxLen goldens 30/67/124/98 — the literal reading
+    of checkRightDanglings would admit the ac-bd-cd path shape at L4,
+    which the reference's 98 excludes);
+  * isValidFreshPredicate (FreshAtomGenerator.scala:52-88) — same-var-set
     predicate ordering (maxPredicates), atom duplicity / unique-predicate
     checks;
+  * constants: instantiated head atoms (HeadsFetcher.scala:24-70 — full
+    predicate size kept as headSize, constant-restricted support),
+    instantiated dangling projections with per-(position, predicate)
+    constant ordering (maxConstants, RuleRefinement.scala:29-45,340-365)
+    and ConstantsAtPosition policies;
+  * the generation-time QuasiBindingFilter (RuleFilter.scala:334-342):
+    a candidate atom with a constant is dropped unless its variable side
+    has >= 2 distinct bindings over the extended body;
   * RuleExpansion.expand (RuleExpansion.scala:22-36) — dangling bookkeeping;
   * Amie.executeStage (Amie.scala:184-231) — level-synchronous BFS with a
     per-stage unique set; rule equality is variable-renaming-invariant with
@@ -22,15 +36,17 @@ a joint binding of body+fresh atom), which matches RuleRefinement's
 projection counting semantics for non-injective mapping.
 
 Variables are ints: 0='a' (head subject), 1='b' (head object), 2='c', ...
-Atoms are (s, p, o) with s/o ints (variables); constants are not simulated
-in this var-only version.
+Constants are ('c', value) tuples; atoms are (s, p, o).
 """
 
 from __future__ import annotations
 
-import math
 from collections import defaultdict
-from dataclasses import dataclass, field
+from dataclasses import dataclass
+
+
+def is_var(x) -> bool:
+    return isinstance(x, int)
 
 
 @dataclass
@@ -42,10 +58,19 @@ class SimParams:
     with_duplicate_predicates: bool = True
     only_predicates: set | None = None
     without_predicates: set | None = None
+    #: 'nowhere' (no constants), None (both positions), 'subject', 'object',
+    #: 'lower' (predicate's lowerCardinalitySide)
+    constants_position: str | None = "nowhere"
+    #: apply the generation-time QuasiBindingFilter to constant atoms
+    quasi_binding_filter: bool = True
 
     @property
     def max_dangling_variables(self) -> int:
         return (self.max_rule_length * 2) // 3
+
+    @property
+    def with_instances(self) -> bool:
+        return self.constants_position != "nowhere"
 
     def is_valid_predicate(self, p) -> bool:
         if self.only_predicates is not None and p not in self.only_predicates:
@@ -57,7 +82,7 @@ class SimParams:
 
 @dataclass
 class Rule:
-    head: tuple  # (0, p, 1)
+    head: tuple  # (item, p, item); var head = (0, p, 1)
     body: tuple  # prepend order: body[0] is the newest atom
     danglings: tuple  # var ids occurring exactly once (incl. head vars)
     max_variable: int
@@ -72,20 +97,36 @@ class Rule:
     def is_closed(self) -> bool:
         return not self.danglings
 
+    @property
+    def head_vars(self) -> set:
+        return {x for x in (self.head[0], self.head[2]) if is_var(x)}
+
     def canon(self) -> tuple:
         """Variable-renaming-invariant identity with head vars pinned
-        (RuleContent.checkRuleContentsEquality): canonical relabeling of
-        vars >= 2 chosen to minimize the sorted body."""
+        (RuleContent.checkRuleContentsEquality)."""
         from itertools import permutations
 
-        extras = sorted({x for a in self.body for x in (a[0], a[2]) if x >= 2})
+        hv = self.head_vars
+        extras = sorted({
+            x for a in self.body for x in (a[0], a[2])
+            if is_var(x) and x not in hv
+        })
+        base = 2 if hv == {0, 1} else 1
+
+        def enc(x, m):
+            if is_var(x):
+                return ("v", m.get(x, x))
+            return x
+
         if not extras:
-            return (self.head, tuple(sorted(self.body)))
+            return (self.head, tuple(sorted(
+                (enc(s, {}), p, enc(o, {})) for s, p, o in self.body
+            )))
         best = None
-        for perm in permutations(range(2, 2 + len(extras))):
+        for perm in permutations(range(base, base + len(extras))):
             m = dict(zip(extras, perm))
             relabeled = tuple(sorted(
-                (m.get(s, s), p, m.get(o, o)) for s, p, o in self.body
+                (enc(s, m), p, enc(o, m)) for s, p, o in self.body
             ))
             if best is None or relabeled < best:
                 best = relabeled
@@ -109,21 +150,31 @@ class Index:
                 self.op[o].add(p)
                 self.sop[(s, o)].add(p)
 
+    def lower_side(self, p) -> str:
+        ns, no = len(self.po[p]), len(self.ps[p])
+        return "object" if ns >= no else "subject"
+
     def bindings(self, atoms, binding):
-        """Generator of full bindings (dicts) for the atom list."""
+        """Generator of full bindings (dicts var->value) for the atom list
+        (constant items are fixed)."""
         if not atoms:
             yield binding
             return
 
+        def val(x, b):
+            if is_var(x):
+                return b.get(x)
+            return x[1]
+
         def score(a):
             s, p, o = a
-            sb, ob = s in binding, o in binding
+            sb, ob = val(s, binding) is not None, val(o, binding) is not None
             return 0 if (sb and ob) else (1 if (sb or ob) else 2)
 
         atoms = sorted(atoms, key=score)
         s, p, o = atoms[0]
         rest = atoms[1:]
-        sb, ob = binding.get(s), binding.get(o)
+        sb, ob = val(s, binding), val(o, binding)
         if sb is not None and ob is not None:
             if ob in self.po[p].get(sb, ()):
                 yield from self.bindings(rest, binding)
@@ -146,71 +197,46 @@ class Index:
                     yield from self.bindings(rest, b2)
 
     def exists(self, atoms, binding) -> bool:
-        """Backtracking existence check: atoms is a list of (s,p,o) var
-        atoms; binding maps var -> constant."""
-        if not atoms:
+        for _ in self.bindings(atoms, binding):
             return True
-        # pick the most-bound atom first
-        def score(a):
-            s, p, o = a
-            sb, ob = s in binding, o in binding
-            if sb and ob:
-                return 0
-            if sb or ob:
-                return 1
-            return 2
-
-        atoms = sorted(atoms, key=score)
-        s, p, o = atoms[0]
-        rest = atoms[1:]
-        sb, ob = binding.get(s), binding.get(o)
-        if sb is not None and ob is not None:
-            return ob in self.po[p].get(sb, ()) and self.exists(rest, binding)
-        if sb is not None:
-            for oo in self.po[p].get(sb, ()):
-                b2 = dict(binding)
-                b2[o] = oo
-                if self.exists(rest, b2):
-                    return True
-            return False
-        if ob is not None:
-            for ss in self.ps[p].get(ob, ()):
-                b2 = dict(binding)
-                b2[s] = ss
-                if self.exists(rest, b2):
-                    return True
-            return False
-        for ss, oos in self.po[p].items():
-            for oo in oos:
-                b2 = dict(binding)
-                b2[s] = ss
-                b2[o] = oo
-                if self.exists(rest, b2):
-                    return True
         return False
 
 
+def _inst_position(idx: Index, params: SimParams, p) -> str | None:
+    """Allowed instantiation position for predicate p: 'subject', 'object',
+    None = both (instantiatedPosition, RuleRefinement.scala:63-90).
+    Returns 'none' when instantiation is disabled."""
+    cp = params.constants_position
+    if cp == "nowhere":
+        return "none"
+    if cp is None:
+        return None
+    if cp == "lower":
+        return idx.lower_side(p)
+    return cp
+
+
 def _possible_fresh_atoms(rule: Rule, params: SimParams):
-    """Port of getPossibleFreshAtoms (var-only, constants Nowhere)."""
+    """Port of getPossibleFreshAtoms (+ the pinned one-open-extra law)."""
     last = rule.body[0] if rule.body else rule.head
-    x, y = min(last[0], last[2]), max(last[0], last[2])
     dangling = rule.max_variable + 1
+    ls, lo = last[0], last[2]
+    if is_var(ls) and is_var(lo):
+        x, y = min(ls, lo), max(ls, lo)
+    elif is_var(ls):
+        x, y = ls, dangling
+    else:
+        x, y = lo, dangling
     max_possible_danglings = (params.max_rule_length - rule.rule_length - 1) * 2
     is_last = rule.rule_length + 1 >= params.max_rule_length
-
-    # at most ONE extra (non-head) variable may be dangling at a time: a
-    # fresh atom cannot open a new dangling while an extra var is still
-    # unclosed. This is pinned EMPIRICALLY by the reference goldens
-    # (AmieSpec: maxLen2=30, maxLen3 67/124, maxLen4=98 — the 98 excludes
-    # exactly the two-extra-variable path shape ac-bd-cd, which the
-    # literal reading of FreshAtomGenerator.scala:110-122 would admit).
-    has_extra_dangling = any(d >= 2 for d in rule.danglings)
+    hv = rule.head_vars
+    has_extra_dangling = any(d not in hv for d in rule.danglings)
 
     def check_right_danglings(s, o):
         if rule.is_closed:
             return True
         if (s == dangling or o == dangling) and has_extra_dangling:
-            return False
+            return False  # pinned one-open-extra-dangling law
         s_low, o_low, rem = True, True, 0
         for d in rule.danglings:
             s_low = s_low and s <= d
@@ -227,8 +253,17 @@ def _possible_fresh_atoms(rule: Rule, params: SimParams):
     def check_last_atom(s, o):
         if not is_last:
             return True
-        # constants Nowhere: the closing atom may not open a new dangling
-        return s != dangling and o != dangling
+        if not params.with_instances:
+            # constants Nowhere: the closing atom may not open a dangling
+            return s != dangling and o != dangling
+        # with instances the dangling gets instantiated; ConstantsAtPosition
+        # Subject forbids the dangling at object and vice versa
+        # (FreshAtomGenerator.scala:133-141)
+        if params.constants_position == "subject" and o == dangling:
+            return False
+        if params.constants_position == "object" and s == dangling:
+            return False
+        return True
 
     for i in range(x, dangling):
         for j in range(x + 1, dangling + 1):
@@ -238,20 +273,43 @@ def _possible_fresh_atoms(rule: Rule, params: SimParams):
                         yield (s, o)
 
 
-def _is_valid_fresh_predicate(rule: Rule, fresh, p, params: SimParams) -> bool:
-    """Port of isValidFreshPredicate."""
+def _max_predicates(rule: Rule):
+    """maxPredicates: var-SET -> max predicate over body atoms
+    (FreshAtomGenerator.scala:20-32)."""
+    out = {}
+    for s, q, o in rule.body:
+        key = frozenset(x for x in (s, o) if is_var(x))
+        if key not in out or q > out[key]:
+            out[key] = q
+    return out
+
+
+def _max_constants(rule: Rule):
+    """maxConstants: (var-position, predicate) -> max constant
+    (RuleRefinement.scala:29-45). Position key: ('s', var) means the atom's
+    SUBJECT is the variable (constant at object), ('o', var) the reverse."""
+    out = {}
+    for s, q, o in rule.body:
+        if is_var(s) and not is_var(o):
+            key = (("s", s), q)
+            if key not in out or o[1] > out[key]:
+                out[key] = o[1]
+        elif not is_var(s) and is_var(o):
+            key = (("o", o), q)
+            if key not in out or s[1] > out[key]:
+                out[key] = s[1]
+    return out
+
+
+def _is_valid_fresh_predicate(rule: Rule, max_preds, fresh, p, params) -> bool:
+    """Port of isValidFreshPredicate (predicate-level checks; the atom-level
+    duplicity of instantiated atoms is checked at emission)."""
     if not params.is_valid_predicate(p):
         return False
-    # same-var-set predicate ordering (maxPredicates)
-    fvars = frozenset(fresh)
-    mx = None
-    for s, q, o in rule.body:
-        if frozenset((s, o)) == fvars:
-            mx = q if mx is None else max(mx, q)
+    mx = max_preds.get(frozenset(fresh))
     if mx is not None and not (p >= mx):
         return False
     if params.with_duplicate_predicates:
-        # atom duplicity: same (subject position, predicate, object)
         for s, q, o in rule.body:
             if q == p and s == fresh[0] and o == fresh[1]:
                 return False
@@ -267,37 +325,84 @@ def _is_valid_fresh_predicate(rule: Rule, fresh, p, params: SimParams) -> bool:
 def _expand(rule: Rule, atom, support: int) -> Rule:
     s, _, o = atom
     dangling = rule.max_variable + 1
-    head_dangling = [dangling] if (s == dangling or o == dangling) else []
-    second = [d for d in rule.danglings if d != s and d != o]
+    avars = {x for x in (s, o) if is_var(x)}
+    head_dangling = [dangling] if dangling in avars else []
+    second = [d for d in rule.danglings if d not in avars]
     return Rule(
         head=rule.head,
         body=(atom,) + rule.body,
         danglings=tuple(head_dangling + second),
-        max_variable=max(rule.max_variable, s, o),
+        max_variable=max([rule.max_variable] + [x for x in avars]),
         support=support,
         head_size=rule.head_size,
     )
 
 
-def mine_reference_order(triples, params: SimParams | None = None):
-    """Run the staged BFS exactly as Amie.executeStage; returns the list of
-    closed rules (as Rule objects, deduped by renaming-invariant canon)."""
-    params = params or SimParams()
-    triples = [
-        t for t in triples
-        if params.is_valid_predicate(t[1])
-    ]
-    idx = Index(triples)
-    # heads (HeadsFetcher: var-only logical heads)
-    queue = []
+def _head_rules(idx: Index, params: SimParams):
+    """HeadsFetcher: variable heads + instantiated variants."""
+    rules = []
     for p, size in idx.psize.items():
-        if size >= params.min_head_size and size >= max(
-            params.min_support, params.min_head_coverage * size
-        ):
-            queue.append(Rule(
+        if not params.is_valid_predicate(p):
+            continue
+        if size < params.min_head_size:
+            continue
+        thr = max(params.min_support, params.min_head_coverage * size)
+        if size >= thr:
+            rules.append(Rule(
                 head=(0, p, 1), body=(), danglings=(1, 0),
                 max_variable=1, support=size, head_size=size,
             ))
+        ip = _inst_position(idx, params, p)
+        if ip == "none":
+            continue
+        if ip in (None, "subject"):
+            for c, objs in idx.po[p].items():
+                if len(objs) >= thr:
+                    rules.append(Rule(
+                        head=(("c", c), p, 0), body=(), danglings=(0,),
+                        max_variable=0, support=len(objs), head_size=size,
+                    ))
+        if ip in (None, "object"):
+            for c, subs in idx.ps[p].items():
+                if len(subs) >= thr:
+                    rules.append(Rule(
+                        head=(0, p, ("c", c)), body=(), danglings=(0,),
+                        max_variable=0, support=len(subs), head_size=size,
+                    ))
+    return rules
+
+
+def _head_bindings(idx: Index, rule: Rule):
+    hs, p, ho = rule.head
+    if is_var(hs) and is_var(ho):
+        return [
+            {hs: s, ho: o} for s, os_ in idx.po[p].items() for o in os_
+        ]
+    if is_var(ho):  # subject instantiated
+        return [{ho: o} for o in idx.po[p].get(rule.head[0][1], ())]
+    return [{hs: s} for s in idx.ps[p].get(rule.head[2][1], ())]
+
+
+def _quasi_binding_ok(idx: Index, body, atom) -> bool:
+    """QuasiBindingFilter (RuleFilter.scala:334-342): the constant atom's
+    variable side must admit >= 2 distinct bindings over body + atom."""
+    s, _, o = atom
+    var = s if is_var(s) else o
+    seen = set()
+    for bd in idx.bindings(list(body) + [atom], {}):
+        seen.add(bd[var])
+        if len(seen) > 1:
+            return True
+    return False
+
+
+def mine_reference_order(triples, params: SimParams | None = None):
+    """Run the staged BFS exactly as Amie.executeStage; returns the list of
+    closed rules (deduped by renaming-invariant canon)."""
+    params = params or SimParams()
+    triples = [t for t in triples if params.is_valid_predicate(t[1])]
+    idx = Index(triples)
+    queue = _head_rules(idx, params)
     closed: dict = {}
     stage = 1
     while stage < params.max_rule_length and queue:
@@ -307,44 +412,80 @@ def mine_reference_order(triples, params: SimParams | None = None):
                 params.min_support,
                 params.min_head_coverage * rule.head_size,
             )
-            head_pairs = [
-                (s, o)
-                for s, os_ in idx.po[rule.head[1]].items()
-                for o in os_
-            ]
+            max_preds = _max_predicates(rule)
+            max_consts = _max_constants(rule)
             body = list(rule.body)
+            head_bindings = _head_bindings(idx, rule)
+            is_last = rule.rule_length + 1 >= params.max_rule_length
+            dangling = rule.max_variable + 1
             for fresh in _possible_fresh_atoms(rule, params):
                 all_set = {
                     p for p in idx.psize
-                    if _is_valid_fresh_predicate(rule, fresh, p, params)
+                    if _is_valid_fresh_predicate(rule, max_preds, fresh, p, params)
                 }
                 if not all_set:
                     continue
                 u, v = fresh
+                opens = dangling in (u, v)
                 counts = defaultdict(int)
-                for (a, b) in head_pairs:
+                for hb in head_bindings:
                     found = set()
-                    for bd in idx.bindings(body, {0: a, 1: b}):
-                        ub, vb = bd.get(u), bd.get(v)
+                    for bd in idx.bindings(body, dict(hb)):
+                        ub = bd.get(u) if u != dangling else None
+                        vb = bd.get(v) if v != dangling else None
                         if ub is not None and vb is not None:
-                            found |= idx.sop.get((ub, vb), set()) & all_set
+                            for p in idx.sop.get((ub, vb), set()) & all_set:
+                                found.add((u, p, v))
                         elif ub is not None:
-                            found |= idx.sp.get(ub, set()) & all_set
+                            # dangling at object
+                            for p in idx.sp.get(ub, set()) & all_set:
+                                # variable projection (not at last stage:
+                                # RuleRefinement.scala:352 / checkLastAtom)
+                                if not is_last:
+                                    found.add((u, p, v))
+                                ip = _inst_position(idx, params, p)
+                                if ip in (None, "object"):
+                                    mx = max_consts.get((("s", u), p))
+                                    for c in idx.po[p].get(ub, ()):
+                                        if mx is not None and not (c > mx):
+                                            continue
+                                        found.add((u, p, ("c", c)))
                         elif vb is not None:
-                            found |= idx.op.get(vb, set()) & all_set
-                        if len(found) == len(all_set):
-                            break
-                    for p in found:
-                        counts[p] += 1
-                for p, support in counts.items():
-                    if support >= min_sup:
-                        atom = (u, p, v)
-                        new = _expand(rule, atom, support)
-                        key = (new.is_closed, new.canon())
-                        if key not in next_set:
-                            next_set[key] = new
-                            if new.is_closed:
-                                closed[new.canon()] = new
+                            # dangling at subject
+                            for p in idx.op.get(vb, set()) & all_set:
+                                if not is_last:
+                                    found.add((u, p, v))
+                                ip = _inst_position(idx, params, p)
+                                if ip in (None, "subject"):
+                                    mx = max_consts.get((("o", v), p))
+                                    for c in idx.ps[p].get(vb, ()):
+                                        if mx is not None and not (c > mx):
+                                            continue
+                                        found.add((("c", c), p, v))
+                    for atom in found:
+                        counts[atom] += 1
+                for atom, support in counts.items():
+                    if support < min_sup:
+                        continue
+                    has_const = not (is_var(atom[0]) and is_var(atom[2]))
+                    if has_const:
+                        # exact-duplicate instantiated atom in the rule —
+                        # rulePredicates includes the HEAD atom, so a body
+                        # atom equal to an instantiated head is a duplicate
+                        # (isDuplicateInstantiatedAtom via RuleEnhancement
+                        # rulePredicates, RuleEnhancement.scala:21-37)
+                        if atom in rule.body or atom == rule.head:
+                            continue
+                        if params.quasi_binding_filter and not _quasi_binding_ok(
+                            idx, body, atom
+                        ):
+                            continue
+                    new = _expand(rule, atom, support)
+                    key = (new.is_closed, new.canon())
+                    if key not in next_set:
+                        next_set[key] = new
+                        if new.is_closed:
+                            closed[new.canon()] = new
         queue = list(next_set.values())
         stage += 1
     return list(closed.values())

@@ -452,6 +452,36 @@ _EQS_HIST_SQL = """
 
 
 @register(
+    "nt_roundtrip",
+    """
+    select n_name as s, 'ex:inRegion' as p,
+           concat('region:', r_name) as o, 'uri' as okind
+    from nation join region on n_regionkey = r_regionkey
+    """,
+)
+def q_nt_roundtrip(spark, sf_dir):
+    """N-Triples writer -> reader round-trip against relational truth
+    (RdfSource.scala:52-67; formats/JenaLang parity for the NT subset)."""
+    import tempfile
+
+    from rdfrules_spark.sources.rdf import read_nt, write_nt
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    df = nation.join(
+        region, nation.n_regionkey == region.r_regionkey
+    ).select(
+        F.col("n_name").alias("s"),
+        F.lit("ex:inRegion").alias("p"),
+        F.concat(F.lit("region:"), F.col("r_name")).alias("o"),
+        F.lit("uri").alias("okind"),
+    )
+    path = tempfile.mkdtemp(prefix="rdfrules_nt_") + "/data"
+    write_nt(df, path)
+    return read_nt(spark, path)
+
+
+@register(
     "equisize_intervals",
     f"""
     with recursive {_EQS_HIST_SQL},

@@ -1,0 +1,260 @@
+"""RDF text-format readers/writers: N-Triples, N-Quads, and a Turtle subset.
+
+Reference: format dispatch core:data/RdfSource.scala:52-67; Jena-based
+parsing core:data/formats/JenaLang.scala. Apache Jena is a JVM dependency we
+do not carry, so the line-oriented formats (NT, NQ) are parsed DISTRIBUTED
+with Spark regex machinery (spark.read.text splits the file across tasks —
+each N-Triples/N-Quads line is a self-contained statement, so the parse is
+embarrassingly parallel and whole-stage-codegen'd; .gz/.bz2 ride Spark's
+codec support transparently, matching core:data/Compression.scala).
+
+Turtle is NOT line-oriented (prefix state, ';'/',' continuations), so the
+TTL reader parses per-partition with a small stateful parser over
+statements split on terminal '.'; directive state (@prefix/@base) is
+collected in a cheap first pass (directives legally precede use; we
+broadcast the full prefix map). Multi-line statements are handled inside a
+partition; a statement split across partition boundaries is only possible
+when a single file is split — pass ``single_partition=True`` (or keep TTL
+files under the partition size) for such files. Nested blank-node property
+lists and collections are out of scope and raise.
+
+Term encoding matches the TSV reader: URIs bare (no angle brackets),
+blank nodes keep the ``_:`` sigil, plain/lang literals keep their lexical
+form, numeric literals their lexical value — so `dictionary.term_kind`
+types them identically to the reference's Raw/ParsedLiterals modes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdfrules_spark.dictionary import term_kind
+
+# one NT/NQ term: uri | blank | literal(with optional datatype/lang)
+_TERM = (
+    r"(?:<[^>]*>"
+    r"|_:[^\s]+"
+    r'|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[A-Za-z0-9-]+)?'
+    r")"
+)
+_NT_LINE = rf"^\s*({_TERM})\s+({_TERM})\s+({_TERM})\s*\.\s*$"
+_NQ_LINE = rf"^\s*({_TERM})\s+({_TERM})\s+({_TERM})(?:\s+({_TERM}))?\s*\.\s*$"
+
+
+def _decode_term(col):
+    """Strip <> from URIs; unquote literals (keep lexical form; drop
+    datatype/lang tags like the reference's ParsedLiterals mode keeps the
+    typed VALUE, core:data/formats/Tsv.scala:15-120)."""
+    uri = F.regexp_replace(col, r"^<|>$", "")
+    lit = F.regexp_extract(col, r'^"((?:[^"\\]|\\.)*)"', 1)
+    unescaped = F.regexp_replace(
+        F.regexp_replace(lit, r'\\"', '"'), r"\\\\", r"\\"
+    )
+    return F.when(col.startswith("<"), uri).when(
+        col.startswith('"'), unescaped
+    ).otherwise(col)
+
+
+def read_nt(spark: SparkSession, path: str) -> DataFrame:
+    """N-Triples -> (s, p, o, okind). Distributed line parse."""
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        *[
+            F.regexp_extract("value", _NT_LINE, i).alias(c)
+            for i, c in ((1, "s"), (2, "p"), (3, "o"))
+        ]
+    ).where(F.col("p") != "")
+    out = parsed.select(
+        _decode_term(F.col("s")).alias("s"),
+        _decode_term(F.col("p")).alias("p"),
+        _decode_term(F.col("o")).alias("o"),
+    )
+    return out.withColumn("okind", term_kind(F.col("o")))
+
+
+def read_nq(spark: SparkSession, path: str) -> DataFrame:
+    """N-Quads -> (s, p, o, okind, g); default graph when absent."""
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        *[
+            F.regexp_extract("value", _NQ_LINE, i).alias(c)
+            for i, c in ((1, "s"), (2, "p"), (3, "o"), (4, "g"))
+        ]
+    ).where(F.col("p") != "")
+    out = parsed.select(
+        _decode_term(F.col("s")).alias("s"),
+        _decode_term(F.col("p")).alias("p"),
+        _decode_term(F.col("o")).alias("o"),
+        F.when(F.col("g") == "", F.lit("")).otherwise(
+            _decode_term(F.col("g"))
+        ).alias("g"),
+    )
+    return out.withColumn("okind", term_kind(F.col("o")))
+
+
+_TTL_TERM = re.compile(
+    r"""(<[^>]*>|_:[^\s;,\]]+|"(?:[^"\\]|\\.)*"(?:\^\^[^\s;,]+|@[A-Za-z0-9-]+)?|[A-Za-z][\w.-]*:[\w.%-]*|:[\w.%-]+|a\b|[0-9][\w.+-]*|true|false)\s*""",
+)
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _ttl_statements(text: str):
+    """Split a Turtle chunk into '.'-terminated statements, respecting
+    quoted literals and <>-wrapped IRIs."""
+    buf, i, n = [], 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == '"':
+            j = i + 1
+            while j < n and text[j] != '"':
+                j += 2 if text[j] == "\\" else 1
+            buf.append(text[i:j + 1])
+            i = j + 1
+        elif ch == "<":
+            j = text.find(">", i)
+            j = n - 1 if j < 0 else j
+            buf.append(text[i:j + 1])
+            i = j + 1
+        elif ch == "#":
+            j = text.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif ch == ".":
+            nxt = text[i + 1] if i + 1 < n else " "
+            if nxt.isspace() or nxt == "":
+                stmt = "".join(buf).strip()
+                if stmt:
+                    yield stmt
+                buf = []
+                i += 1
+            else:
+                buf.append(ch)
+                i += 1
+        else:
+            buf.append(ch)
+            i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        yield tail
+
+
+def _ttl_prefixes(text: str) -> tuple[dict, str]:
+    prefixes, base = {}, ""
+    for m in re.finditer(
+        r"@prefix\s+([\w.-]*):\s*<([^>]*)>\s*\.|@base\s*<([^>]*)>\s*\.",
+        text,
+    ):
+        if m.group(3) is not None:
+            base = m.group(3)
+        else:
+            prefixes[m.group(1)] = m.group(2)
+    return prefixes, base
+
+
+def _ttl_expand(term: str, prefixes: dict, base: str) -> str:
+    if term.startswith("<"):
+        iri = term[1:-1]
+        return base + iri if base and "://" not in iri else iri
+    if term == "a":
+        return _RDF_TYPE
+    if term.startswith('"'):
+        m = re.match(r'^"((?:[^"\\]|\\.)*)"', term)
+        return m.group(1).replace('\\"', '"').replace("\\\\", "\\")
+    if term.startswith("_:") or re.match(r"^[0-9]|^true$|^false$", term):
+        return term
+    if ":" in term:
+        pfx, local = term.split(":", 1)
+        if pfx in prefixes:
+            return prefixes[pfx] + local
+    return term
+
+
+def read_ttl(
+    spark: SparkSession, path: str, single_partition: bool = False
+) -> DataFrame:
+    """Turtle subset -> (s, p, o, okind): @prefix/@base, prefixed names,
+    'a', ';' predicate lists and ',' object lists. See module docstring for
+    the partition-boundary caveat."""
+    raw = spark.read.text(path)
+    if single_partition:
+        raw = raw.coalesce(1)
+    full_text_head = "\n".join(
+        r["value"] for r in raw.limit(2000).collect()
+    )
+    prefixes, base = _ttl_prefixes(full_text_head)
+    bc = spark.sparkContext.broadcast((prefixes, base))
+
+    def parse_partition(rows):
+        pfx, bs = bc.value
+        text = "\n".join(r["value"] for r in rows)
+        for stmt in _ttl_statements(text):
+            if stmt.startswith("@"):
+                continue
+            terms = _TTL_TERM.findall(stmt)
+            no_lit = re.sub(r'"(?:[^"\\]|\\.)*"', "", stmt)
+            if "[" in no_lit or "(" in no_lit:
+                raise NotImplementedError(
+                    "TTL blank-node property lists / collections are not "
+                    "supported by this subset reader"
+                )
+            if not terms:
+                continue
+            # s (p o (, o)*) (; p o (, o)*)*
+            parts = re.split(r"\s*;\s*", stmt)
+            subj = None
+            for pi, part in enumerate(parts):
+                ts = _TTL_TERM.findall(part)
+                if not ts:
+                    continue
+                if pi == 0:
+                    subj = _ttl_expand(ts[0], pfx, bs)
+                    ts = ts[1:]
+                if len(ts) < 2:
+                    continue
+                pred = _ttl_expand(ts[0], pfx, bs)
+                for obj in ts[1:]:
+                    yield (subj, pred, _ttl_expand(obj, pfx, bs))
+
+    out = spark.createDataFrame(
+        raw.rdd.mapPartitions(parse_partition),
+        "s string, p string, o string",
+    )
+    return out.withColumn("okind", term_kind(F.col("o")))
+
+
+def read_rdf(spark: SparkSession, path: str, **kw) -> DataFrame:
+    """Extension dispatch (core:data/RdfSource.scala:52-67): nt, nq, ttl,
+    tsv (+ .gz/.bz2). Unknown extensions raise."""
+    from rdfrules_spark.sources.tsv import read_tsv
+
+    base = re.sub(r"\.(gz|bz2)$", "", path.lower())
+    if base.endswith(".nt"):
+        return read_nt(spark, path)
+    if base.endswith(".nq"):
+        df = read_nq(spark, path, **kw)
+        return df
+    if base.endswith(".ttl"):
+        return read_ttl(spark, path, **kw)
+    if base.endswith(".tsv"):
+        return read_tsv(spark, path)
+    raise ValueError(f"unsupported RDF extension: {path}")
+
+
+def write_nt(df: DataFrame, path: str) -> None:
+    """Graph export as N-Triples (core:data/Graph.scala:52-60). URIs get
+    angle brackets; non-uri objects are written as quoted literals."""
+    # NB replacement strings are Java Matcher replacements: backslashes
+    # must be doubled there too ('\\\\' emits one literal backslash)
+    esc = lambda c: F.regexp_replace(  # noqa: E731
+        F.regexp_replace(c, r"\\", r"\\\\"), '"', r'\\"'
+    )
+    okind = df["okind"] if "okind" in df.columns else term_kind(F.col("o"))
+    line = F.concat(
+        F.lit("<"), "s", F.lit("> <"), "p", F.lit("> "),
+        F.when(okind == "uri", F.concat(F.lit("<"), "o", F.lit(">")))
+        .otherwise(F.concat(F.lit('"'), esc(F.col("o")), F.lit('"'))),
+        F.lit(" ."),
+    )
+    df.select(line.alias("value")).write.mode("overwrite").text(path)
