@@ -71,6 +71,26 @@ def _b(triples: DataFrame) -> DataFrame:
     return fwd.unionAll(inv)
 
 
+#: separator for triple-identity strings (never occurs in IRIs/literals of
+#: the fixtures; collisions would only merge identities, never split them)
+_TSEP = ""
+
+
+def _btid(prefix: str = "") -> F.Column:
+    """Identity of the UNDERLYING triple of a B-relation row: d='f' stores
+    (x,q,y) for triple (x,q,y); d='i' stores (o,s) so the triple is
+    (y,q,x). Distinct-triple support semantics (see _finish docstring)."""
+    x, y, q, d = (F.col(prefix + c) for c in ("x", "y", "q", "d"))
+    return F.when(
+        d == "f", F.concat_ws(_TSEP, x, q, y)
+    ).otherwise(F.concat_ws(_TSEP, y, q, x))
+
+
+def _htid() -> F.Column:
+    """Identity of the bound head triple (a, p, b)."""
+    return F.concat_ws(_TSEP, F.col("a"), F.col("p"), F.col("b"))
+
+
 def head_sizes(triples: DataFrame, params: MiningParams) -> DataFrame:
     """Valid head predicates with sizes (HeadsFetcher.scala:24-92)."""
     hs = triples.groupBy("p").agg(F.count(F.lit(1)).alias("head_size"))
@@ -103,11 +123,21 @@ def _finish(agg: DataFrame, heads: DataFrame, params: MiningParams) -> DataFrame
 
 
 def mine_l2(triples: DataFrame, heads: DataFrame, params: MiningParams) -> DataFrame:
-    """(?a p ?b) <- (?a q ?b) | (?b q ?a): one self-join on the head pair."""
+    """(?a p ?b) <- (?a q ?b) | (?b q ?a): one self-join on the head pair.
+
+    Distinct-triple support (all miners): no body atom may bind the SAME
+    KG triple as the head or another body atom — the reference bans "two
+    identical instantiated atoms in the rule" during support counting
+    (RuleFilter.scala NoRepeatedGroups deprecation note, VariableMap.scala
+    :5-12; pinned by the AmieSpec dup-predicate goldens 124/51143). Only
+    same-predicate (duplicate-predicate) atoms can collide, so the filters
+    below are no-ops for constraint-free configs."""
     h = triples.select(F.col("s").alias("x"), F.col("o").alias("y"), "p")
     b = _b(triples)
     j = h.join(b, ["x", "y"]).where(
         (F.col("q") != F.col("p")) | (F.col("d") != "f")  # exclude head atom
+    ).where(
+        _btid() != F.concat_ws(_TSEP, F.col("x"), F.col("p"), F.col("y"))
     )
     agg = j.groupBy("p", "q", F.col("d").alias("d1")).agg(
         F.count(F.lit(1)).alias("support")  # head triples are distinct pairs
@@ -128,14 +158,19 @@ def mine_l3_2var(triples: DataFrame, heads: DataFrame, params: MiningParams) -> 
     b = _b(triples)
     m = h.join(b, ["x", "y"]).where(
         (F.col("q") != F.col("p")) | (F.col("d") != "f")
+    ).withColumn("tid", _btid()).where(
+        F.col("tid") != F.concat_ws(_TSEP, F.col("x"), F.col("p"), F.col("y"))
     )
-    m1 = m.select("x", "y", "p", F.col("q").alias("q"), F.col("d").alias("d1"))
-    m2 = m.select("x", "y", "p", F.col("q").alias("r"), F.col("d").alias("d2"))
-    # canonical unordered pair: (q,d1) < (r,d2) lexicographically
+    m1 = m.select("x", "y", "p", F.col("q").alias("q"), F.col("d").alias("d1"),
+                  F.col("tid").alias("tid1"))
+    m2 = m.select("x", "y", "p", F.col("q").alias("r"), F.col("d").alias("d2"),
+                  F.col("tid").alias("tid2"))
+    # canonical unordered pair: (q,d1) < (r,d2) lexicographically;
+    # distinct-triple: the two atoms may not bind the same KG triple
     pairs = m1.join(m2, ["x", "y", "p"]).where(
         (F.col("q") < F.col("r"))
         | ((F.col("q") == F.col("r")) & (F.col("d1") < F.col("d2")))
-    )
+    ).where(F.col("tid1") != F.col("tid2"))
     agg = pairs.groupBy("p", "q", "d1", "r", "d2").agg(
         F.count(F.lit(1)).alias("support")
     )
@@ -160,15 +195,20 @@ def mine_l3_3var(
     h = triples.select(F.col("s").alias("a"), F.col("o").alias("b"), "p")
     b = _b(triples)
     b1 = b.select(F.col("x").alias("a"), F.col("y").alias("c"),
-                  F.col("q").alias("q"), F.col("d").alias("d1"))
+                  F.col("q").alias("q"), F.col("d").alias("d1"),
+                  _btid().alias("tid1"))
     b2 = b.select(F.col("x").alias("b"), F.col("y").alias("c"),
-                  F.col("q").alias("r"), F.col("d").alias("d2"))
+                  F.col("q").alias("r"), F.col("d").alias("d2"),
+                  _btid().alias("tid2"))
     if max_var_degree is not None:
         deg = b.groupBy("y").agg(F.count(F.lit(1)).alias("_deg"))
         keep = deg.where(F.col("_deg") <= max_var_degree).select("y")
         b1 = b1.join(keep.withColumnRenamed("y", "c"), "c", "left_semi")
         b2 = b2.join(keep.withColumnRenamed("y", "c"), "c", "left_semi")
-    j = h.join(b1, "a").join(b2, ["b", "c"])
+    j = h.join(b1, "a").join(b2, ["b", "c"]).where(
+        (F.col("tid1") != F.col("tid2"))
+        & (F.col("tid1") != _htid()) & (F.col("tid2") != _htid())
+    )
     agg = j.groupBy("p", "q", "d1", "r", "d2").agg(
         F.countDistinct("a", "b").alias("support")
     )

@@ -67,14 +67,21 @@ def mine_brute(
             "pca_body_size": pca_bs,
         }
 
+    def vvt(a, b, q, d):  # the KG triple a (q,d) atom binds for pair (a, b)
+        return (a, q, b) if d == "f" else (b, q, a)
+
     atoms = sorted(rel)  # [(q, d)]
+    # distinct-triple SUPPORT (body sizes stay plain: the reference allows
+    # duplicate triple bindings for bodySize counting — VariableMap.scala:12)
     for p, hp in heads.items():
         # L2
         for q, d in atoms:
             if q == p and d == "f":
                 continue
             body = rel[(q, d)]
-            support = len(hp & body)
+            support = sum(
+                1 for (a, b_) in hp & body if vvt(a, b_, q, d) != (a, p, b_)
+            )
             emit(p, "l2", q, d, None, None, support, body)
         if max_len < 3:
             continue
@@ -82,7 +89,10 @@ def mine_brute(
         valid = [a for a in atoms if a != (p, "f")]
         for a1, a2 in combinations(valid, 2):
             body = rel[a1] & rel[a2]
-            support = len(hp & body)
+            support = sum(
+                1 for (a, b_) in hp & body
+                if len({vvt(a, b_, *a1), vvt(a, b_, *a2), (a, p, b_)}) == 3
+            )
             emit(p, "l3v2", a1[0], a1[1], a2[0], a2[1], support, body)
         # L3 3-var
         for q, d1 in atoms:
@@ -90,7 +100,12 @@ def mine_brute(
             for r, d2 in atoms:
                 a2 = adj[(r, d2)]
                 support = sum(
-                    1 for (a, b_) in hp if a1.get(a, set()) & a2.get(b_, set())
+                    1 for (a, b_) in hp
+                    if any(
+                        len({vvt(a, c, q, d1), vvt(b_, c, r, d2),
+                             (a, p, b_)}) == 3
+                        for c in a1.get(a, set()) & a2.get(b_, set())
+                    )
                 )
                 body = {
                     (a, b_)
@@ -172,15 +187,20 @@ def mine_brute_constants(
     def vv(x, y, q, d):  # var-var atom
         return (x, q, y) if d == "f" else (y, q, x)
 
+    def vvt(a, b, q, d):  # the KG triple a (q,d) atom binds for pair (a, b)
+        return (a, q, b) if d == "f" else (b, q, a)
+
     def catoms(ent, var):
-        """All instantiated atoms binding `var` to facts of `ent`."""
+        """All (instantiated atom, bound KG triple) pairs binding `var` to
+        facts of `ent`. The triple is tracked for the distinct-triple
+        support semantics (see constants.py module docstring)."""
         out = []
         for q, o in by_subj[ent]:
             if const_ok(q, "o"):
-                out.append((var, q, ("C", o)))
+                out.append(((var, q, ("C", o)), (ent, q, o)))
         for q, s in by_obj[ent]:
             if const_ok(q, "s"):
-                out.append((("C", s), q, var))
+                out.append(((("C", s), q, var), (s, q, ent)))
         return out
 
     def preds_of(atoms):
@@ -202,25 +222,37 @@ def mine_brute_constants(
         hs = len(hp)
         thr = max(min_support, min_hc * hs)
         head0 = ("?a", p, "?b")
-        # ---- H0 shapes ----
+        # ---- H0 shapes ----  (distinct-triple: no atom binds the head
+        # triple or another atom's triple — see constants.py docstring)
         for q, d in atoms_vv:
             if (q, d) == (p, "f"):
                 continue
             body = rel[(q, d)]
-            emit(p, head0, [vv("?a", "?b", q, d)], len(hp & body), hs)
+            sup = sum(
+                1 for (a, b) in hp & body
+                if vvt(a, b, q, d) != (a, p, b)
+            )
+            emit(p, head0, [vv("?a", "?b", q, d)], sup, hs)
         if max_len >= 3:
             valid = [a for a in atoms_vv if a != (p, "f")]
             for a1, a2 in combinations(valid, 2):
-                m = hp & rel[a1] & rel[a2]
+                sup = sum(
+                    1 for (a, b) in hp & rel[a1] & rel[a2]
+                    if len({vvt(a, b, *a1), vvt(a, b, *a2), (a, p, b)}) == 3
+                )
                 emit(p, head0,
-                     [vv("?a", "?b", *a1), vv("?a", "?b", *a2)], len(m), hs)
+                     [vv("?a", "?b", *a1), vv("?a", "?b", *a2)], sup, hs)
             for q, d1 in atoms_vv:
                 a1m = adj[(q, d1)]
                 for r, d2 in atoms_vv:
                     a2m = adj[(r, d2)]
                     sup = sum(
                         1 for (a, b) in hp
-                        if a1m.get(a, set()) & a2m.get(b, set())
+                        if any(
+                            len({vvt(a, c, q, d1), vvt(b, c, r, d2),
+                                 (a, p, b)}) == 3
+                            for c in a1m.get(a, set()) & a2m.get(b, set())
+                        )
                     )
                     emit(p, head0,
                          [vv("?a", "?c", q, d1), vv("?b", "?c", r, d2)],
@@ -229,17 +261,25 @@ def mine_brute_constants(
             s4 = defaultdict(set)
             for q, d in valid:
                 for (a, b) in hp & rel[(q, d)]:
+                    ht, vt = (a, p, b), vvt(a, b, q, d)
+                    if vt == ht:
+                        continue
                     for var, ent in (("?a", a), ("?b", b)):
-                        for ca in catoms(ent, var):
-                            s4[(vv("?a", "?b", q, d), ca)].add((a, b))
+                        for ca, ct in catoms(ent, var):
+                            if ct != ht and ct != vt:
+                                s4[(vv("?a", "?b", q, d), ca)].add((a, b))
             for (vatom, catom), prs in s4.items():
                 emit(p, head0, [vatom, catom], len(prs), hs)
             # S5: instantiated on a + instantiated on b
             s5 = defaultdict(set)
             for (a, b) in hp:
-                for ca in catoms(a, "?a"):
-                    for cb in catoms(b, "?b"):
-                        s5[(ca, cb)].add((a, b))
+                ht = (a, p, b)
+                for ca, cta in catoms(a, "?a"):
+                    if cta == ht:
+                        continue
+                    for cb, ctb in catoms(b, "?b"):
+                        if ctb != ht and ctb != cta:
+                            s5[(ca, cb)].add((a, b))
             for (ca, cb), prs in s5.items():
                 emit(p, head0, [ca, cb], len(prs), hs)
         # ---- instantiated heads ----
@@ -256,11 +296,15 @@ def mine_brute_constants(
             for A, frees in grouped.items():
                 head = (("C", A), p, head_var) if fixed_pos == "s" else (
                     head_var, p, ("C", A))
+
+                def head_t(e):
+                    return (A, p, e) if fixed_pos == "s" else (e, p, A)
+
                 # L2: one instantiated atom on the free var
                 s6 = defaultdict(set)
                 for e in frees:
-                    for ca in catoms(e, head_var):
-                        if ca == head:
+                    for ca, ct in catoms(e, head_var):
+                        if ca == head or ct == head_t(e):
                             continue
                         s6[ca].add(e)
                 for ca, es in s6.items():
@@ -270,28 +314,42 @@ def mine_brute_constants(
                 # S7: two VV atoms over (free, c)
                 for a1, a2 in combinations(atoms_vv, 2):
                     m1, m2 = adj[a1], adj[a2]
-                    es = {e for e in frees
-                          if m1.get(e, set()) & m2.get(e, set())}
+                    es = {
+                        e for e in frees
+                        if any(
+                            len({vvt(e, c, *a1), vvt(e, c, *a2),
+                                 head_t(e)}) == 3
+                            for c in m1.get(e, set()) & m2.get(e, set())
+                        )
+                    }
                     emit(p, head,
                          [vv(head_var, "?c", *a1), vv(head_var, "?c", *a2)],
                          len(es), hs)
                 # S8: VV(free, c) + instantiated atom on c
                 s8 = defaultdict(set)
                 for e in frees:
+                    ht = head_t(e)
                     for q, d in atoms_vv:
                         for c in adj[(q, d)].get(e, set()):
-                            for ca in catoms(c, "?c"):
-                                s8[(vv(head_var, "?c", q, d), ca)].add(e)
+                            vt = vvt(e, c, q, d)
+                            if vt == ht:
+                                continue
+                            for ca, ct in catoms(c, "?c"):
+                                if ct != ht and ct != vt:
+                                    s8[(vv(head_var, "?c", q, d), ca)].add(e)
                 for (vatom, catom), es in s8.items():
                     emit(p, head, [vatom, catom], len(es), hs)
                 # S9: two instantiated atoms on the free var
                 s9 = defaultdict(set)
                 for e in frees:
-                    cas = [ca for ca in catoms(e, head_var) if ca != head]
-                    for c1, c2 in combinations(
-                        sorted(set(cas), key=_atom_str), 2
-                    ):
-                        s9[(c1, c2)].add(e)
+                    ht = head_t(e)
+                    cas = {
+                        ca: ct for ca, ct in catoms(e, head_var)
+                        if ca != head and ct != ht
+                    }
+                    for c1, c2 in combinations(sorted(cas, key=_atom_str), 2):
+                        if cas[c1] != cas[c2]:
+                            s9[(c1, c2)].add(e)
                 for (c1, c2), es in s9.items():
                     emit(p, head, [c1, c2], len(es), hs)
     return rules

@@ -13,7 +13,15 @@ Reference semantics (cites):
     (RuleConstraint.scala:28-104);
   * closed rule = every VARIABLE appears >= 2x; atoms pairwise distinct and
     distinct from the head atom; rule identity = (head, SET of body atoms)
-    (AmieSpec.scala:122 `body.toSet -> head`).
+    (AmieSpec.scala:122 `body.toSet -> head`);
+  * DISTINCT-TRIPLE support: a binding may not map two atoms of the rule
+    (head included) to the same KG triple — the reference bans "two
+    identical instantiated atoms in the rule" during support counting
+    (RuleFilter.scala NoRepeatedGroups deprecation note, VariableMap.scala
+    :5-12 commentary). Only duplicate-predicate configs are affected;
+    pinned by the AmieSpec dup+constants golden (51,143 rules at minHC
+    0.02 — we reproduce 51,136, a 7-rule / 0.014% residual documented in
+    tests/test_constants_mining.py).
 
 Execution = the reference's level-synchronous BFS re-expressed as staged
 aggregations: every length-3 shape is computed FROM the length-2 survivor
@@ -44,7 +52,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rdfrules_spark.mining.amie import MiningParams, _b
+from rdfrules_spark.mining.amie import MiningParams, _TSEP, _b, _btid
 
 
 def _const_side(triples: DataFrame, constants: str) -> DataFrame | None:
@@ -65,10 +73,12 @@ def _catoms(triples: DataFrame, constants: str) -> DataFrame:
     sub = triples.select(
         F.col("s").alias("x"), F.col("p").alias("q2"),
         F.col("o").alias("cst"), F.lit("s").alias("e"),
+        F.concat_ws(_TSEP, "s", "p", "o").alias("ctid"),
     )  # atom (?x q2 C)  — constant at object
     obj = triples.select(
         F.col("o").alias("x"), F.col("p").alias("q2"),
         F.col("s").alias("cst"), F.lit("o").alias("e"),
+        F.concat_ws(_TSEP, "s", "p", "o").alias("ctid"),
     )  # atom (C q2 ?x)  — constant at subject
     if constants == "object":
         return sub
@@ -143,10 +153,11 @@ def mine_constants(
     heads = triples.groupBy("p").agg(F.count(F.lit(1)).alias("head_size"))
     heads = heads.where(F.col("head_size") >= params.min_head_size)
 
-    b = _b(triples)
+    b = _b(triples).withColumn("tid", _btid())
     ca = _catoms(triples, constants)
     h0 = triples.join(F.broadcast(heads.select("p")), "p").select(
-        "p", F.col("s").alias("a"), F.col("o").alias("bb")
+        "p", F.col("s").alias("a"), F.col("o").alias("bb"),
+        F.concat_ws(_TSEP, "s", "p", "o").alias("htid"),
     )
     results = []
 
@@ -156,9 +167,9 @@ def mine_constants(
     # l2: VV(a,b)
     m = h0.join(
         b, (F.col("a") == F.col("x")) & (F.col("bb") == F.col("y"))
-    ).where((F.col("q") != F.col("p")) | (F.col("d") != "f")).select(
-        "p", "a", "bb", "q", "d"
-    )
+    ).where((F.col("q") != F.col("p")) | (F.col("d") != "f")).where(
+        F.col("tid") != F.col("htid")
+    ).select("p", "a", "bb", "q", "d", "tid", "htid")
     l2 = m.groupBy("p", "q", "d").agg(F.count(F.lit(1)).alias("support"))
     results.append(_finish(
         l2, heads, params, head0,
@@ -178,12 +189,13 @@ def mine_constants(
 
         # l3v2: {VV, VV}
         m2 = ms.select(
-            "p", "a", "bb", F.col("q").alias("r"), F.col("d").alias("d2")
+            "p", "a", "bb", F.col("q").alias("r"), F.col("d").alias("d2"),
+            F.col("tid").alias("tid2"),
         )
         pairs = ms.join(m2, ["p", "a", "bb"]).where(
             (F.col("q") < F.col("r"))
             | ((F.col("q") == F.col("r")) & (F.col("d") < F.col("d2")))
-        )
+        ).where(F.col("tid") != F.col("tid2"))
         l3v2 = pairs.groupBy("p", "q", "d", "r", "d2").agg(
             F.count(F.lit(1)).alias("support")
         )
@@ -198,8 +210,9 @@ def mine_constants(
         # l3 path (S3): VV(a,c) + VV(b,c); gated by the dangling prefix
         # (a p b) <- (a q c) survivors
         b1 = b.select(F.col("x").alias("a"), F.col("y").alias("c"),
-                      "q", F.col("d").alias("d1"))
-        dang_a = h0.join(b1, "a")
+                      "q", F.col("d").alias("d1"),
+                      F.col("tid").alias("tid1"))
+        dang_a = h0.join(b1, "a").where(F.col("tid1") != F.col("htid"))
         da_s = dang_a.groupBy("p", "q", "d1").agg(
             F.countDistinct("a", "bb").alias("support")
         ).join(F.broadcast(heads), "p").where(
@@ -208,10 +221,13 @@ def mine_constants(
                >= F.col("head_size") * params.min_head_coverage)
         ).select("p", "q", "d1")
         b2 = b.select(F.col("x").alias("bb"), F.col("y").alias("c"),
-                      F.col("q").alias("r"), F.col("d").alias("d2"))
+                      F.col("q").alias("r"), F.col("d").alias("d2"),
+                      F.col("tid").alias("tid2"))
         j3 = (
             dang_a.join(F.broadcast(da_s), ["p", "q", "d1"], "left_semi")
             .join(b2, ["bb", "c"])
+            .where((F.col("tid2") != F.col("htid"))
+                   & (F.col("tid1") != F.col("tid2")))
         )
         l3v3 = j3.groupBy("p", "q", "d1", "r", "d2").agg(
             F.countDistinct("a", "bb").alias("support")
@@ -227,7 +243,10 @@ def mine_constants(
         if constants != "nowhere":
             # S4: {VV(a,b), CAtom on a or b} — gated by l2 survivors
             for role, key in (("?a", "a"), ("?b", "bb")):
-                j = ms.join(ca, ms[key] == ca["x"])
+                j = ms.join(ca, ms[key] == ca["x"]).where(
+                    (F.col("ctid") != F.col("htid"))
+                    & (F.col("ctid") != F.col("tid"))
+                )
                 agg = j.groupBy("p", "q", "d", "q2", "cst", "e").agg(
                     F.countDistinct("a", "bb").alias("support")
                 )
@@ -241,10 +260,12 @@ def mine_constants(
 
             # S5: {CAtom(a), CAtom(b)} — gated by the instantiated-dangling
             # prefix (a p b) <- CAtom(a) survivors
-            ia = h0.join(ca, h0["a"] == ca["x"]).select(
-                "p", "a", "bb",
+            ia = h0.join(ca, h0["a"] == ca["x"]).where(
+                F.col("ctid") != F.col("htid")
+            ).select(
+                "p", "a", "bb", "htid",
                 F.col("q2").alias("qa"), F.col("cst").alias("csta"),
-                F.col("e").alias("ea"),
+                F.col("e").alias("ea"), F.col("ctid").alias("ctida"),
             )
             ia_s = ia.groupBy("p", "qa", "csta", "ea").agg(
                 F.countDistinct("a", "bb").alias("support")
@@ -256,6 +277,8 @@ def mine_constants(
             s5 = (
                 ia.join(ia_s, ["p", "qa", "csta", "ea"], "left_semi")
                 .join(ca, F.col("bb") == ca["x"])
+                .where((F.col("ctid") != F.col("htid"))
+                       & (F.col("ctid") != F.col("ctida")))
                 .groupBy("p", "qa", "csta", "ea", "q2", "cst", "e")
                 .agg(F.countDistinct("a", "bb").alias("support"))
             )
@@ -278,6 +301,7 @@ def mine_constants(
                 "p",
                 (F.col("a") if fixed_pos == "s" else F.col("bb")).alias("A"),
                 (F.col("bb") if fixed_pos == "s" else F.col("a")).alias("f"),
+                "htid",
             )
             if constants == "lcs":
                 side = _const_side(triples, constants)
@@ -297,9 +321,9 @@ def mine_constants(
             )
 
             # S6: one CAtom on the free var (also the gate for S9)
-            ihca = ih.join(ca, ih["f"] == ca["x"]).where(not_head_atom).select(
-                "p", "A", "f", "q2", "cst", "e"
-            )
+            ihca = ih.join(ca, ih["f"] == ca["x"]).where(not_head_atom).where(
+                F.col("ctid") != F.col("htid")
+            ).select("p", "A", "f", "q2", "cst", "e", "ctid", "htid")
             s6 = ihca.groupBy("p", "A", "q2", "cst", "e").agg(
                 F.countDistinct("f").alias("support")
             )
@@ -317,8 +341,11 @@ def mine_constants(
                 ).select("p", "A", "q2", "cst", "e")
 
                 # dangling prefix (head) <- VV(f, c) — gate for S7/S8
-                ihb = ih.join(b, ih["f"] == b["x"]).select(
-                    "p", "A", "f", F.col("y").alias("c"), "q", "d"
+                ihb = ih.join(b, ih["f"] == b["x"]).where(
+                    F.col("tid") != F.col("htid")
+                ).select(
+                    "p", "A", "f", F.col("y").alias("c"), "q", "d",
+                    "tid", "htid",
                 )
                 d7s = ihb.groupBy("p", "A", "q", "d").agg(
                     F.countDistinct("f").alias("support")
@@ -333,11 +360,12 @@ def mine_constants(
                 ihb2 = ihb.select(
                     "p", "A", "f", "c",
                     F.col("q").alias("r"), F.col("d").alias("d2"),
+                    F.col("tid").alias("tid2"),
                 )
                 p7 = ihb_s.join(ihb2, ["p", "A", "f", "c"]).where(
                     (F.col("q") < F.col("r"))
                     | ((F.col("q") == F.col("r")) & (F.col("d") < F.col("d2")))
-                )
+                ).where(F.col("tid") != F.col("tid2"))
                 s7 = p7.groupBy("p", "A", "q", "d", "r", "d2").agg(
                     F.countDistinct("f").alias("support")
                 )
@@ -352,6 +380,8 @@ def mine_constants(
                 # S8: {VV(f,c), CAtom(c)}
                 s8 = (
                     ihb_s.join(ca, F.col("c") == ca["x"])
+                    .where((F.col("ctid") != F.col("htid"))
+                           & (F.col("ctid") != F.col("tid")))
                     .groupBy("p", "A", "q", "d", "q2", "cst", "e")
                     .agg(F.countDistinct("f").alias("support"))
                 )
@@ -368,11 +398,14 @@ def mine_constants(
                 a1str = _ca_str(fvar, F.col("q2"), F.col("cst"), F.col("e"))
                 r1 = ihca.join(
                     s6s, ["p", "A", "q2", "cst", "e"], "left_semi"
-                ).select("p", "A", "f", a1str.alias("a1"))
-                r2 = ihca.select("p", "A", "f", a1str.alias("a2"))
+                ).select("p", "A", "f", a1str.alias("a1"),
+                         F.col("ctid").alias("ctid1"))
+                r2 = ihca.select("p", "A", "f", a1str.alias("a2"),
+                                 F.col("ctid").alias("ctid2"))
                 s9 = (
                     r1.join(r2, ["p", "A", "f"])
                     .where(F.col("a1") < F.col("a2"))
+                    .where(F.col("ctid1") != F.col("ctid2"))
                     .groupBy("p", "A", "a1", "a2")
                     .agg(F.countDistinct("f").alias("support"))
                 )

@@ -23,9 +23,14 @@ declarative Spark miner and the reference BFS can be localized:
     instantiated dangling projections with per-(position, predicate)
     constant ordering (maxConstants, RuleRefinement.scala:29-45,340-365)
     and ConstantsAtPosition policies;
-  * the generation-time QuasiBindingFilter (RuleFilter.scala:334-342):
-    a candidate atom with a constant is dropped unless its variable side
-    has >= 2 distinct bindings over the extended body;
+  * DISTINCT-TRIPLE support counting: a binding may not map two atoms of
+    the rule (head included) to the same KG triple — the reference bans
+    "two identical instantiated atoms in the rule" (RuleFilter.scala
+    NoRepeatedGroups deprecation note; VariableMap.scala:5-12). This is
+    what separates the dup+constants golden (51,143 @ minHC 0.02) from
+    the plain enumeration (78,597): this simulator lands at 51,136 (7
+    duplicate-predicate rules short, 0.014% — open residual), nodup
+    subset exact;
   * RuleExpansion.expand (RuleExpansion.scala:22-36) — dangling bookkeeping;
   * Amie.executeStage (Amie.scala:184-231) — level-synchronous BFS with a
     per-stage unique set; rule equality is variable-renaming-invariant with
@@ -61,8 +66,6 @@ class SimParams:
     #: 'nowhere' (no constants), None (both positions), 'subject', 'object',
     #: 'lower' (predicate's lowerCardinalitySide)
     constants_position: str | None = "nowhere"
-    #: apply the generation-time QuasiBindingFilter to constant atoms
-    quasi_binding_filter: bool = True
 
     @property
     def max_dangling_variables(self) -> int:
@@ -154,11 +157,16 @@ class Index:
         ns, no = len(self.po[p]), len(self.ps[p])
         return "object" if ns >= no else "subject"
 
-    def bindings(self, atoms, binding):
-        """Generator of full bindings (dicts var->value) for the atom list
-        (constant items are fixed)."""
+    def bindings(self, atoms, binding, used: frozenset = frozenset()):
+        """Generator of (binding, used_triples) for the atom list (constant
+        items fixed). DISTINCT-TRIPLE semantics: no atom may bind a triple
+        in ``used`` (seed with the head triple), and no two atoms may bind
+        the same triple — the reference bans "two identical instantiated
+        atoms in the rule" (RuleFilter.scala NoRepeatedGroups deprecation
+        note; VariableMap.scala:5-12 commentary; pinned empirically by the
+        AmieSpec dup+constants golden 51143, see mine_reference_order)."""
         if not atoms:
-            yield binding
+            yield binding, used
             return
 
         def val(x, b):
@@ -175,29 +183,34 @@ class Index:
         s, p, o = atoms[0]
         rest = atoms[1:]
         sb, ob = val(s, binding), val(o, binding)
+
+        def emit(ss, oo):
+            t = (ss, p, oo)
+            if t in used:
+                return
+            b2 = dict(binding)
+            if is_var(s):
+                b2[s] = ss
+            if is_var(o):
+                b2[o] = oo
+            yield from self.bindings(rest, b2, used | {t})
+
         if sb is not None and ob is not None:
             if ob in self.po[p].get(sb, ()):
-                yield from self.bindings(rest, binding)
+                yield from emit(sb, ob)
         elif sb is not None:
             for oo in self.po[p].get(sb, ()):
-                b2 = dict(binding)
-                b2[o] = oo
-                yield from self.bindings(rest, b2)
+                yield from emit(sb, oo)
         elif ob is not None:
             for ss in self.ps[p].get(ob, ()):
-                b2 = dict(binding)
-                b2[s] = ss
-                yield from self.bindings(rest, b2)
+                yield from emit(ss, ob)
         else:
             for ss, oos in self.po[p].items():
                 for oo in oos:
-                    b2 = dict(binding)
-                    b2[s] = ss
-                    b2[o] = oo
-                    yield from self.bindings(rest, b2)
+                    yield from emit(ss, oo)
 
-    def exists(self, atoms, binding) -> bool:
-        for _ in self.bindings(atoms, binding):
+    def exists(self, atoms, binding, used: frozenset = frozenset()) -> bool:
+        for _ in self.bindings(atoms, binding, used):
             return True
         return False
 
@@ -235,8 +248,6 @@ def _possible_fresh_atoms(rule: Rule, params: SimParams):
     def check_right_danglings(s, o):
         if rule.is_closed:
             return True
-        if (s == dangling or o == dangling) and has_extra_dangling:
-            return False  # pinned one-open-extra-dangling law
         s_low, o_low, rem = True, True, 0
         for d in rule.danglings:
             s_low = s_low and s <= d
@@ -270,7 +281,20 @@ def _possible_fresh_atoms(rule: Rule, params: SimParams):
             if i < j and ((i == x and j >= y) or i > x):
                 for s, o in ((i, j), (j, i)):
                     if check_right_danglings(s, o) and check_last_atom(s, o):
-                        yield (s, o)
+                        # pinned one-open-extra-dangling law: an atom that
+                        # OPENS a new dangling while an extra (non-head)
+                        # var is still dangling may only be emitted
+                        # INSTANTIATED (the constant consumes the dangling)
+                        # — its variable projection never materializes.
+                        # Var-only evidence: AmieSpec maxLen4 golden (98,
+                        # path shape excluded); constants evidence: the
+                        # {VV,CAtom} rule family requires the instantiated
+                        # side (AmieSpec 51143/211527 configs).
+                        inst_only = (
+                            (s == dangling or o == dangling)
+                            and has_extra_dangling
+                        )
+                        yield (s, o, inst_only)
 
 
 def _max_predicates(rule: Rule):
@@ -373,27 +397,18 @@ def _head_rules(idx: Index, params: SimParams):
 
 
 def _head_bindings(idx: Index, rule: Rule):
+    """(binding, head_triple) per head fact."""
     hs, p, ho = rule.head
     if is_var(hs) and is_var(ho):
         return [
-            {hs: s, ho: o} for s, os_ in idx.po[p].items() for o in os_
+            ({hs: s, ho: o}, (s, p, o))
+            for s, os_ in idx.po[p].items() for o in os_
         ]
     if is_var(ho):  # subject instantiated
-        return [{ho: o} for o in idx.po[p].get(rule.head[0][1], ())]
-    return [{hs: s} for s in idx.ps[p].get(rule.head[2][1], ())]
-
-
-def _quasi_binding_ok(idx: Index, body, atom) -> bool:
-    """QuasiBindingFilter (RuleFilter.scala:334-342): the constant atom's
-    variable side must admit >= 2 distinct bindings over body + atom."""
-    s, _, o = atom
-    var = s if is_var(s) else o
-    seen = set()
-    for bd in idx.bindings(list(body) + [atom], {}):
-        seen.add(bd[var])
-        if len(seen) > 1:
-            return True
-    return False
+        c = rule.head[0][1]
+        return [({ho: o}, (c, p, o)) for o in idx.po[p].get(c, ())]
+    c = rule.head[2][1]
+    return [({hs: s}, (s, p, c)) for s in idx.ps[p].get(c, ())]
 
 
 def mine_reference_order(triples, params: SimParams | None = None):
@@ -418,48 +433,64 @@ def mine_reference_order(triples, params: SimParams | None = None):
             head_bindings = _head_bindings(idx, rule)
             is_last = rule.rule_length + 1 >= params.max_rule_length
             dangling = rule.max_variable + 1
-            for fresh in _possible_fresh_atoms(rule, params):
+            for u, v, inst_only in _possible_fresh_atoms(rule, params):
+                fresh = (u, v)
                 all_set = {
                     p for p in idx.psize
                     if _is_valid_fresh_predicate(rule, max_preds, fresh, p, params)
                 }
                 if not all_set:
                     continue
-                u, v = fresh
-                opens = dangling in (u, v)
                 counts = defaultdict(int)
-                for hb in head_bindings:
+                for hb, ht in head_bindings:
                     found = set()
-                    for bd in idx.bindings(body, dict(hb)):
+                    for bd, used in idx.bindings(body, dict(hb), frozenset((ht,))):
                         ub = bd.get(u) if u != dangling else None
                         vb = bd.get(v) if v != dangling else None
                         if ub is not None and vb is not None:
                             for p in idx.sop.get((ub, vb), set()) & all_set:
-                                found.add((u, p, v))
+                                if (ub, p, vb) not in used:
+                                    found.add((u, p, v))
                         elif ub is not None:
                             # dangling at object
                             for p in idx.sp.get(ub, set()) & all_set:
+                                objs = idx.po[p].get(ub, ())
+                                free = [
+                                    c for c in objs if (ub, p, c) not in used
+                                ] if len(objs) <= len(used) + 1 else objs
+                                if not free:
+                                    continue
                                 # variable projection (not at last stage:
                                 # RuleRefinement.scala:352 / checkLastAtom)
-                                if not is_last:
+                                if not is_last and not inst_only:
                                     found.add((u, p, v))
                                 ip = _inst_position(idx, params, p)
                                 if ip in (None, "object"):
                                     mx = max_consts.get((("s", u), p))
-                                    for c in idx.po[p].get(ub, ()):
+                                    for c in objs:
                                         if mx is not None and not (c > mx):
+                                            continue
+                                        if (ub, p, c) in used:
                                             continue
                                         found.add((u, p, ("c", c)))
                         elif vb is not None:
                             # dangling at subject
                             for p in idx.op.get(vb, set()) & all_set:
-                                if not is_last:
+                                subs = idx.ps[p].get(vb, ())
+                                free = [
+                                    c for c in subs if (c, p, vb) not in used
+                                ] if len(subs) <= len(used) + 1 else subs
+                                if not free:
+                                    continue
+                                if not is_last and not inst_only:
                                     found.add((u, p, v))
                                 ip = _inst_position(idx, params, p)
                                 if ip in (None, "subject"):
                                     mx = max_consts.get((("o", v), p))
-                                    for c in idx.ps[p].get(vb, ()):
+                                    for c in subs:
                                         if mx is not None and not (c > mx):
+                                            continue
+                                        if (c, p, vb) in used:
                                             continue
                                         found.add((("c", c), p, v))
                     for atom in found:
@@ -475,10 +506,6 @@ def mine_reference_order(triples, params: SimParams | None = None):
                         # (isDuplicateInstantiatedAtom via RuleEnhancement
                         # rulePredicates, RuleEnhancement.scala:21-37)
                         if atom in rule.body or atom == rule.head:
-                            continue
-                        if params.quasi_binding_filter and not _quasi_binding_ok(
-                            idx, body, atom
-                        ):
                             continue
                     new = _expand(rule, atom, support)
                     key = (new.is_closed, new.canon())

@@ -268,11 +268,15 @@ def mine_shape(
 ) -> DataFrame:
     """One shape -> one distributed job -> rule rows
     (p, shape, body, head_size, support, head_coverage)."""
+    from rdfrules_spark.mining.amie import _TSEP, _btid
+
     b = b_rel if b_rel is not None else _b(triples)
     n = len(pairs)
     h = triples.select(
         F.col("s").alias("a"), F.col("o").alias("b"), "p"
-    ).join(F.broadcast(heads), "p")
+    ).join(F.broadcast(heads), "p").withColumn(
+        "_htid", F.concat_ws(_TSEP, F.col("a"), F.col("p"), F.col("b"))
+    )
     order = _slot_order(pairs)
     cur = h
     bound = set(HEAD_VARS)
@@ -288,6 +292,7 @@ def mine_shape(
         bi = b.select(
             F.col("x").alias(u), F.col("y").alias(v),
             F.col("q").alias(f"q{i}"), F.col("d").alias(f"d{i}"),
+            _btid().alias(f"_tid{i}"),
         )
         shared = [w for w in (u, v) if w in bound]
         cur = cur.join(bi, shared)
@@ -298,6 +303,11 @@ def mine_shape(
             cur = cur.where(
                 (F.col(f"q{i}") != F.col("p")) | (F.col(f"d{i}") != "f")
             )
+        # distinct-triple support: no atom binds the head triple or the
+        # same triple as another atom (see amie.mine_l2 docstring)
+        cur = cur.where(F.col(f"_tid{i}") != F.col("_htid"))
+        for j in joined_slots[:-1]:
+            cur = cur.where(F.col(f"_tid{i}") != F.col(f"_tid{j}"))
         if not params.with_duplicate_predicates:
             cur = cur.where(F.col(f"q{i}") != F.col("p"))
             for j in joined_slots[:-1]:

@@ -1181,9 +1181,33 @@ def q_kg_span_invariant(spark, sf_dir):
     return spark.createDataFrame([(n,)], "violations bigint")
 
 
-@register("media_features")
+@register(
+    "media_features",
+    """
+    with ktoks as (select doc_id, string_split(text, ' ') as ts
+                   from documents),
+    sent as (select doc_id, cast(ceil(len(ts) / 9.0) as int) as n
+             from ktoks),
+    media as (select concat('media://', doc_id, '/', j) as media_ref
+              from sent, unnest(range(n)) as u(j)
+              where (cast(doc_id as bigint) * 31 + j) % 3 = 0),
+    h as (select media_ref,
+                 list_reduce(list_prepend(0,
+                   list_transform(range(length(media_ref)),
+                                  i -> unicode(media_ref[i+1]))),
+                   (a, b) -> a + b) as hs
+          from media)
+    select media_ref, 'image' as kind,
+           hs % 997 as f0, (hs * 6) % 997 as f5
+    from h
+    """,
+)
 def q_media_features(spark, sf_dir):
-    """mapInPandas media feature plumbing (STUB decode) — rows-only check."""
+    """mapInPandas media feature plumbing. The decode is a declared STUB
+    (no image libs in the container) but DETERMINISTIC — feature[i] =
+    ((sum(content bytes) * (i+1)) % 997) / 997 — so the oracle recomputes
+    the exact per-ref features from the documents table (values scaled
+    back to integers to avoid float32 hashing)."""
     from rdfrules_spark.corpus import derive_documents
     from rdfrules_spark.operators.multimodal import (
         extract_features,
@@ -1193,9 +1217,10 @@ def q_media_features(spark, sf_dir):
     docs = derive_documents(_t(spark, sf_dir, "documents"))
     media = media_from_documents(docs)
     feats = extract_features(media, dim=16)
-    return feats.groupBy("kind").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("media_ref").alias("n_refs"),
+    return feats.select(
+        "media_ref", "kind",
+        F.round(F.get("feature", 0) * 997).cast("bigint").alias("f0"),
+        F.round(F.get("feature", 5) * 997).cast("bigint").alias("f5"),
     )
 
 
@@ -1210,9 +1235,11 @@ _MINE_BASE_SQL = f"""
           from w where p <> 'dup'),
     heads as (select p, count(*) as head_size from t group by p
               having count(*) >= 50),
-    b as (select s as x, o as y, p as q, 'f' as d from t
+    b as (select s as x, o as y, p as q, 'f' as d,
+                 concat_ws('|', s, p, o) as tid from t
           union all
-          select o as x, s as y, p as q, 'i' as d from t)
+          select o as x, s as y, p as q, 'i' as d,
+                 concat_ws('|', s, p, o) from t)
 """
 
 
@@ -1235,7 +1262,8 @@ def _kg_triples_df(spark, sf_dir):
     with {_MINE_BASE_SQL},
     j as (select t.p, b.q, b.d as d1
           from t join b on t.s = b.x and t.o = b.y
-          where b.q <> t.p or b.d <> 'f'),
+          where (b.q <> t.p or b.d <> 'f')
+            and b.tid <> concat_ws('|', t.s, t.p, t.o)),
     agg as (select p, q, d1, count(*) as support from j group by p, q, d1)
     select agg.p, 'l2' as shape, q, d1, head_size, support,
            support / head_size as head_coverage
@@ -1259,7 +1287,10 @@ def q_mine_l2_rules(spark, sf_dir):
     j as (select t.p, b1.q, b1.d as d1, b2.q as r, b2.d as d2, t.s as a, t.o as bb
           from t
           join b b1 on t.s = b1.x
-          join b b2 on t.o = b2.x and b1.y = b2.y),
+          join b b2 on t.o = b2.x and b1.y = b2.y
+          where b1.tid <> b2.tid
+            and b1.tid <> concat_ws('|', t.s, t.p, t.o)
+            and b2.tid <> concat_ws('|', t.s, t.p, t.o)),
     agg as (select p, q, d1, r, d2, count(distinct (a, bb)) as support
             from j group by p, q, d1, r, d2)
     select agg.p, 'l3v3' as shape, q, d1, r, d2, head_size, support,
@@ -1287,16 +1318,21 @@ _L4_PREDS = "('join', 'scan', 'filter', 'hash')"
           from w where p in {_L4_PREDS}),
     heads as (select p, count(*) as head_size from t group by p
               having count(*) >= 50),
-    b as (select s as x, o as y, p as q, 'f' as d from t
+    b as (select s as x, o as y, p as q, 'f' as d,
+                 concat_ws('|', s, p, o) as tid from t
           union all
-          select o as x, s as y, p as q, 'i' as d from t),
-    m as (select t.p, t.s as a, t.o as bb, b.q, b.d
+          select o as x, s as y, p as q, 'i' as d,
+                 concat_ws('|', s, p, o) from t),
+    m as (select t.p, t.s as a, t.o as bb, b.q, b.d, b.tid
           from t join b on t.s = b.x and t.o = b.y
-          where b.q <> t.p or b.d <> 'f'),
-    ac as (select t.p, t.s as a, t.o as bb, b.y as c, b.q, b.d
-           from t join b on t.s = b.x),
-    bc as (select t.p, t.s as a, t.o as bb, b.y as c, b.q, b.d
-           from t join b on t.o = b.x),
+          where (b.q <> t.p or b.d <> 'f')
+            and b.tid <> concat_ws('|', t.s, t.p, t.o)),
+    ac as (select t.p, t.s as a, t.o as bb, b.y as c, b.q, b.d, b.tid
+           from t join b on t.s = b.x
+           where b.tid <> concat_ws('|', t.s, t.p, t.o)),
+    bc as (select t.p, t.s as a, t.o as bb, b.y as c, b.q, b.d, b.tid
+           from t join b on t.o = b.x
+           where b.tid <> concat_ws('|', t.s, t.p, t.o)),
     s_v2 as (
       select m0.p, 'ab-ab-ab' as shape,
              concat('ab ', m0.q, ' ', m0.d, ';ab ', m1.q, ' ', m1.d,
@@ -1306,6 +1342,7 @@ _L4_PREDS = "('join', 'scan', 'filter', 'hash')"
       join m m1 on m0.p = m1.p and m0.a = m1.a and m0.bb = m1.bb
       join m m2 on m0.p = m2.p and m0.a = m2.a and m0.bb = m2.bb
       where (m0.q, m0.d) < (m1.q, m1.d) and (m1.q, m1.d) < (m2.q, m2.d)
+        and m0.tid <> m1.tid and m0.tid <> m2.tid and m1.tid <> m2.tid
       group by 1, 3),
     s_abacac as (
       select m0.p, 'ab-ac-ac' as shape,
@@ -1317,6 +1354,7 @@ _L4_PREDS = "('join', 'scan', 'filter', 'hash')"
       join ac a2 on a1.p = a2.p and a1.a = a2.a and a1.bb = a2.bb
                 and a1.c = a2.c
       where (a1.q, a1.d) < (a2.q, a2.d)
+        and a1.tid <> a2.tid and m0.tid <> a1.tid and m0.tid <> a2.tid
       group by 1, 3),
     s_abacbc as (
       select m0.p, 'ab-ac-bc' as shape,
@@ -1327,6 +1365,7 @@ _L4_PREDS = "('join', 'scan', 'filter', 'hash')"
       join ac a1 on m0.p = a1.p and m0.a = a1.a and m0.bb = a1.bb
       join bc b1 on a1.p = b1.p and a1.a = b1.a and a1.bb = b1.bb
                 and a1.c = b1.c
+      where m0.tid <> a1.tid and m0.tid <> b1.tid and a1.tid <> b1.tid
       group by 1, 3),
     s_abbcbc as (
       select m0.p, 'ab-bc-bc' as shape,
@@ -1338,6 +1377,7 @@ _L4_PREDS = "('join', 'scan', 'filter', 'hash')"
       join bc b2 on b1.p = b2.p and b1.a = b2.a and b1.bb = b2.bb
                 and b1.c = b2.c
       where (b1.q, b1.d) < (b2.q, b2.d)
+        and b1.tid <> b2.tid and m0.tid <> b1.tid and m0.tid <> b2.tid
       group by 1, 3),
     s_acacbc as (
       select a1.p, 'ac-ac-bc' as shape,
@@ -1350,6 +1390,7 @@ _L4_PREDS = "('join', 'scan', 'filter', 'hash')"
       join bc b1 on a1.p = b1.p and a1.a = b1.a and a1.bb = b1.bb
                 and a1.c = b1.c
       where (a1.q, a1.d) < (a2.q, a2.d)
+        and a1.tid <> a2.tid and a1.tid <> b1.tid and a2.tid <> b1.tid
       group by 1, 3),
     s_acbcbc as (
       select a1.p, 'ac-bc-bc' as shape,
@@ -1362,6 +1403,7 @@ _L4_PREDS = "('join', 'scan', 'filter', 'hash')"
       join bc b2 on b1.p = b2.p and b1.a = b2.a and b1.bb = b2.bb
                 and b1.c = b2.c
       where (b1.q, b1.d) < (b2.q, b2.d)
+        and b1.tid <> b2.tid and a1.tid <> b1.tid and a1.tid <> b2.tid
       group by 1, 3),
     allr as (select * from s_v2 union all select * from s_abacac
              union all select * from s_abacbc union all select * from s_abbcbc
@@ -1411,7 +1453,8 @@ def q_mine_l4_rules(spark, sf_dir):
     with {_MINE_BASE_SQL},
     j as (select t.p, b.q, b.d as d1
           from t join b on t.s = b.x and t.o = b.y
-          where b.q <> t.p or b.d <> 'f'),
+          where (b.q <> t.p or b.d <> 'f')
+            and b.tid <> concat_ws('|', t.s, t.p, t.o)),
     agg as (select p, q, d1, count(*) as support from j group by p, q, d1),
     rules as (
       select agg.p, q, d1, head_size, support,
@@ -1449,7 +1492,8 @@ _L2_CONF_SQL = f"""
     {_MINE_BASE_SQL},
     agg as (select t.p, b.q, b.d as d1, count(*) as support
             from t join b on t.s = b.x and t.o = b.y
-            where b.q <> t.p or b.d <> 'f'
+            where (b.q <> t.p or b.d <> 'f')
+            and b.tid <> concat_ws('|', t.s, t.p, t.o)
             group by t.p, b.q, b.d),
     rules as (select agg.p, agg.q, agg.d1, heads.head_size, agg.support,
                      agg.support / heads.head_size as head_coverage
@@ -1611,12 +1655,15 @@ def q_cba_prune_l2(spark, sf_dir):
              where {h60_sql("concat(s, '|', p, '|', o)")} % 10 = 0),
     heads as (select p, count(*) as head_size from t group by p
               having count(*) >= 50),
-    b as (select s as x, o as y, p as q, 'f' as d from t
+    b as (select s as x, o as y, p as q, 'f' as d,
+                 concat_ws('|', s, p, o) as tid from t
           union all
-          select o as x, s as y, p as q, 'i' as d from t),
+          select o as x, s as y, p as q, 'i' as d,
+                 concat_ws('|', s, p, o) from t),
     agg as (select t.p, b.q, b.d as d1, count(*) as support
             from t join b on t.s = b.x and t.o = b.y
-            where b.q <> t.p or b.d <> 'f'
+            where (b.q <> t.p or b.d <> 'f')
+            and b.tid <> concat_ws('|', t.s, t.p, t.o)
             group by t.p, b.q, b.d),
     rules as (select agg.p, agg.q, agg.d1, heads.head_size, agg.support
               from agg join heads on agg.p = heads.p
@@ -1700,18 +1747,118 @@ def q_rank_eval_l2(spark, sf_dir):
     )
 
 
-@register("rule_dbscan_clusters")
+@register(
+    "rule_dbscan_clusters",
+    f"""
+    with recursive {_KG_W_SQL},
+    t as (select distinct concat('w:', s_surf) as s, p, concat('w:', o_surf) as o
+          from w where p in {_L4_PREDS}),
+    heads as (select p, count(*) as head_size from t group by p
+              having count(*) >= 50),
+    b as (select s as x, o as y, p as q, 'f' as d,
+                 concat_ws('|', s, p, o) as tid from t
+          union all
+          select o as x, s as y, p as q, 'i' as d,
+                 concat_ws('|', s, p, o) from t),
+    m as (select t.p, t.s as a, t.o as bb, b.q, b.d, b.tid
+          from t join b on t.s = b.x and t.o = b.y
+          where (b.q <> t.p or b.d <> 'f')
+            and b.tid <> concat_ws('|', t.s, t.p, t.o)),
+    l2 as (select p, 'l2' as shape, q, d as d1, cast(null as varchar) as r,
+                  cast(null as varchar) as d2, count(*) as support
+           from m group by 1, 3, 4),
+    l3v2 as (select m0.p, 'l3v2' as shape, m0.q, m0.d as d1,
+                    m1.q as r, m1.d as d2, count(*) as support
+             from m m0 join m m1
+               on m0.p = m1.p and m0.a = m1.a and m0.bb = m1.bb
+             where (m0.q, m0.d) < (m1.q, m1.d) and m0.tid <> m1.tid
+             group by 1, 3, 4, 5, 6),
+    l3v3 as (select t.p, 'l3v3' as shape, b1.q, b1.d as d1,
+                    b2.q as r, b2.d as d2,
+                    count(distinct (t.s, t.o)) as support
+             from t join b b1 on t.s = b1.x
+                    join b b2 on t.o = b2.x and b1.y = b2.y
+             where b1.tid <> b2.tid
+               and b1.tid <> concat_ws('|', t.s, t.p, t.o)
+               and b2.tid <> concat_ws('|', t.s, t.p, t.o)
+             group by 1, 3, 4, 5, 6),
+    allr as (select * from l2 union all select * from l3v2
+             union all select * from l3v3),
+    rr as (select allr.p, shape, q, d1, r, d2, support, heads.head_size,
+                  support / heads.head_size as hc,
+                  concat_ws('|', allr.p, shape, q, d1,
+                            coalesce(r, '-'), coalesce(d2, '-')) as rid,
+                  case when r is null then [concat(q, '|', d1)]
+                       else list_distinct([concat(q, '|', d1),
+                                           concat(r, '|', d2)]) end as atoms
+           from allr join heads on allr.p = heads.p
+           where support >= 2 and support / heads.head_size >= 0.05),
+    base as (select * from (select rr.*, row_number() over
+                    (partition by p order by hc desc, rid) as rk from rr)
+             where rk <= 60),
+    sims as (select a.p, a.rid as ra, b.rid as rb
+             from base a join base b on a.p = b.p and a.rid < b.rid
+             where 0.5 * (case when len(list_distinct(
+                                 list_concat(a.atoms, b.atoms))) > 0
+                          then cast(len(list_intersect(a.atoms, b.atoms))
+                                    as double)
+                               / len(list_distinct(
+                                     list_concat(a.atoms, b.atoms)))
+                          else 0.0 end)
+                   + 0.5 * (1.0 - abs(a.hc - b.hc)) >= 0.8),
+    sym as (select ra as a, rb as b from sims
+            union all select rb, ra from sims),
+    deg as (select a, count(*) as d from sym group by a),
+    core as (select a as n from deg where d >= 2),
+    ce as (select s.a, s.b from sym s
+           join core c1 on c1.n = s.a join core c2 on c2.n = s.b),
+    reach(a, b) as (
+      select a, b from ce
+      union
+      select r.a, e.b from reach r join ce e on r.b = e.a
+    ),
+    lab0 as (select a as node, least(min(b), a) as label
+             from reach group by a),
+    lone as (select n as node, n as label from core
+             where n not in (select node from lab0)),
+    border as (select s.a as node, min(l.label) as label
+               from sym s
+               join core cb on cb.n = s.b
+               join (select node, label from lab0
+                     union all select node, label from lone) l
+                 on l.node = s.b
+               where s.a not in (select n from core)
+               group by s.a),
+    labels as (select * from lab0 union all select * from lone
+               union all select * from border)
+    select rr.p, count(distinct coalesce(labels.label, rr.rid)) as n_clusters,
+           count(*) as n_rules
+    from rr left join labels on labels.node = rr.rid
+    group by rr.p
+    """,
+)
 def q_rule_dbscan_clusters(spark, sf_dir):
-    """DBSCAN rule clustering (DbScan.scala:10-57) — rows-only check
-    (transitive closure; not reasonably SQL-expressible in one query)."""
+    """DBSCAN rule clustering (DbScan.scala:10-57) with a recursive-CTE
+    transitive-closure oracle (cluster counts per head predicate)."""
     from rdfrules_spark.mining.amie import MiningParams, mine
     from rdfrules_spark.ruleset import dbscan_clusters
 
-    t = _kg_triples_df(spark, sf_dir)
+    # same 4-predicate slice as mine_l4_rules: the full synthetic KG
+    # yields ~150k rules whose mining CTEs grind the SQL oracle; the
+    # clustering semantics are fully exercised on the slice
+    t = _kg_triples_df(spark, sf_dir).where(
+        F.col("p").isin("join", "scan", "filter", "hash")
+    )
     params = MiningParams(min_head_size=50, min_support=2,
                           min_head_coverage=0.05)
-    rules = mine(t, params)
-    out = dbscan_clusters(rules, min_similarity=0.6, min_neighbours=2)
+    # materialize once: dbscan references the ruleset from several plan
+    # branches (similarity base + final label join)
+    rules = mine(t, params).localCheckpoint(eager=True)
+    # sim 0.8 / top-60 per group: keeps the epsilon-graph sparse enough
+    # for the oracle's recursive-CTE transitive closure (a dense
+    # near-clique graph makes the closure intermediate explode)
+    out = dbscan_clusters(rules, min_similarity=0.8, min_neighbours=2,
+                          max_group=60)
     return out.groupBy("p").agg(
         F.countDistinct("cluster").alias("n_clusters"),
         F.count(F.lit(1)).alias("n_rules"),
@@ -1758,7 +1905,8 @@ def q_lift_l2(spark, sf_dir):
     with {_MINE_BASE_SQL},
     l2 as (select t.p, b.q, b.d as d1, count(*) as support
            from t join b on t.s = b.x and t.o = b.y
-           where b.q <> t.p or b.d <> 'f'
+           where (b.q <> t.p or b.d <> 'f')
+            and b.tid <> concat_ws('|', t.s, t.p, t.o)
            group by t.p, b.q, b.d),
     l2r as (select concat('?a|', l2.p, '|?b') as head, l2.p,
                    case when d1 = 'f' then concat('?a|', q, '|?b')

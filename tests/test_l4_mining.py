@@ -112,15 +112,13 @@ def test_refsim_agrees_with_spark_l4(spark):
     vname = "ab" + "".join(chr(ord("c") + i) for i in range(8))
 
     def sim_key(r):
-        head, body = r.canon()
-        return (
-            head[1],
-            tuple(sorted(
-                f"{vname[min(s, o)]}{vname[max(s, o)]} {p} "
-                f"{'f' if s < o else 'i'}"
-                for s, p, o in body
-            )),
-        )
+        head, body = r.canon()  # var items encoded as ('v', index)
+        out = []
+        for s, p, o in body:
+            si, oi = s[1], o[1]
+            u, v = (si, oi) if si < oi else (oi, si)
+            out.append(f"{vname[u]}{vname[v]} {p} {'f' if si < oi else 'i'}")
+        return (head[1], tuple(sorted(out)))
 
     df = spark.createDataFrame(triples, "s string, p string, o string")
     rules = mine_upto(
