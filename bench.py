@@ -89,11 +89,15 @@ def bench_mine_kg(spark, sf: float, aux: dict) -> None:
     n = max(50_000, int(10_000_000 * sf))
     triples = synth_kg(spark, n).distinct().cache()
     aux["mine_kg_triples"] = triples.count()
+    t0 = time.time()
     params = MiningParams(min_head_size=100, min_support=2, min_head_coverage=0.01)
     rules = mine(triples, params)
     aux["mine_kg_rules"] = confidences(
         rules, triples, pca=False, min_confidence=0.1
     ).count()
+    # mining+confidence alone (excl. KG synthesis) — the number BASELINE.md
+    # compares against the reference's 15.93 s task1 at the same ~1M scale
+    aux["mine_kg_mine_conf_sec"] = round(time.time() - t0, 1)
     triples.unpersist()
 
 

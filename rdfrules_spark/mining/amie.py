@@ -77,18 +77,22 @@ _TSEP = ""
 
 
 def _btid(prefix: str = "") -> F.Column:
-    """Identity of the UNDERLYING triple of a B-relation row: d='f' stores
-    (x,q,y) for triple (x,q,y); d='i' stores (o,s) so the triple is
-    (y,q,x). Distinct-triple support semantics (see _finish docstring)."""
+    """64-bit identity of the UNDERLYING triple of a B-relation row: d='f'
+    stores (x,q,y) for triple (x,q,y); d='i' stores (o,s) so the triple is
+    (y,q,x). Distinct-triple support semantics (see mine_l2 docstring).
+    xxhash64 keeps the column 8 bytes through the self-join shuffles
+    (string ids measurably bloat shuffle volume at the 1M-triple scale); a
+    collision could only drop one binding and needs ~2^32 triples to
+    become likely."""
     x, y, q, d = (F.col(prefix + c) for c in ("x", "y", "q", "d"))
     return F.when(
-        d == "f", F.concat_ws(_TSEP, x, q, y)
-    ).otherwise(F.concat_ws(_TSEP, y, q, x))
+        d == "f", F.xxhash64(x, q, y)
+    ).otherwise(F.xxhash64(y, q, x))
 
 
 def _htid() -> F.Column:
-    """Identity of the bound head triple (a, p, b)."""
-    return F.concat_ws(_TSEP, F.col("a"), F.col("p"), F.col("b"))
+    """64-bit identity of the bound head triple (a, p, b)."""
+    return F.xxhash64(F.col("a"), F.col("p"), F.col("b"))
 
 
 def head_sizes(triples: DataFrame, params: MiningParams) -> DataFrame:
@@ -137,7 +141,7 @@ def mine_l2(triples: DataFrame, heads: DataFrame, params: MiningParams) -> DataF
     j = h.join(b, ["x", "y"]).where(
         (F.col("q") != F.col("p")) | (F.col("d") != "f")  # exclude head atom
     ).where(
-        _btid() != F.concat_ws(_TSEP, F.col("x"), F.col("p"), F.col("y"))
+        _btid() != F.xxhash64(F.col("x"), F.col("p"), F.col("y"))
     )
     agg = j.groupBy("p", "q", F.col("d").alias("d1")).agg(
         F.count(F.lit(1)).alias("support")  # head triples are distinct pairs
@@ -159,7 +163,7 @@ def mine_l3_2var(triples: DataFrame, heads: DataFrame, params: MiningParams) -> 
     m = h.join(b, ["x", "y"]).where(
         (F.col("q") != F.col("p")) | (F.col("d") != "f")
     ).withColumn("tid", _btid()).where(
-        F.col("tid") != F.concat_ws(_TSEP, F.col("x"), F.col("p"), F.col("y"))
+        F.col("tid") != F.xxhash64(F.col("x"), F.col("p"), F.col("y"))
     )
     m1 = m.select("x", "y", "p", F.col("q").alias("q"), F.col("d").alias("d1"),
                   F.col("tid").alias("tid1"))

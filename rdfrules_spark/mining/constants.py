@@ -52,7 +52,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rdfrules_spark.mining.amie import MiningParams, _TSEP, _b, _btid
+from rdfrules_spark.mining.amie import MiningParams, _b, _btid
 
 
 def _const_side(triples: DataFrame, constants: str) -> DataFrame | None:
@@ -73,12 +73,12 @@ def _catoms(triples: DataFrame, constants: str) -> DataFrame:
     sub = triples.select(
         F.col("s").alias("x"), F.col("p").alias("q2"),
         F.col("o").alias("cst"), F.lit("s").alias("e"),
-        F.concat_ws(_TSEP, "s", "p", "o").alias("ctid"),
+        F.xxhash64("s", "p", "o").alias("ctid"),
     )  # atom (?x q2 C)  — constant at object
     obj = triples.select(
         F.col("o").alias("x"), F.col("p").alias("q2"),
         F.col("s").alias("cst"), F.lit("o").alias("e"),
-        F.concat_ws(_TSEP, "s", "p", "o").alias("ctid"),
+        F.xxhash64("s", "p", "o").alias("ctid"),
     )  # atom (C q2 ?x)  — constant at subject
     if constants == "object":
         return sub
@@ -157,7 +157,7 @@ def mine_constants(
     ca = _catoms(triples, constants)
     h0 = triples.join(F.broadcast(heads.select("p")), "p").select(
         "p", F.col("s").alias("a"), F.col("o").alias("bb"),
-        F.concat_ws(_TSEP, "s", "p", "o").alias("htid"),
+        F.xxhash64("s", "p", "o").alias("htid"),
     )
     results = []
 

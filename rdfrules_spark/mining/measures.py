@@ -73,8 +73,9 @@ def body_pairs(
         )
         if injective:
             bb = bb.where(F.col("x") != F.col("y"))
+        p_type = dict(triples.dtypes)["p"]
         return bb.select(
-            "q", "d1", F.lit(None).cast("long").alias("r"),
+            "q", "d1", F.lit(None).cast(p_type).alias("r"),
             F.lit(None).cast("string").alias("d2"),
             F.col("x").alias("a"), F.col("y").alias("b"),
         ).distinct()
@@ -133,11 +134,15 @@ def _head_side(triples: DataFrame) -> DataFrame:
 def _pca_sizes(
     pairs: DataFrame, shaped: DataFrame, triples: DataFrame, side: DataFrame
 ) -> DataFrame:
-    """pca_body_size per (p, combo): expand pairs to the combo's head
-    predicates (tiny broadcast), keep pairs whose head entity on the
+    """pca_body_size per (shape, p, combo): expand pairs to the combo's
+    head predicates (tiny broadcast), keep pairs whose head entity on the
     higherCardinalitySide exists for p, count."""
-    combo_heads = shaped.select("p", *COMBO).join(F.broadcast(side), "p")
-    expanded = _combo_join(pairs, combo_heads, COMBO, broadcast_right=True)
+    combo_heads = shaped.select("shape", "p", *COMBO).distinct().join(
+        F.broadcast(side), "p"
+    )
+    expanded = _combo_join(
+        pairs, combo_heads, ["shape", *COMBO], broadcast_right=True
+    )
     subs = triples.select("p", F.col("s").alias("a")).distinct()
     objs = triples.select("p", F.col("o").alias("b")).distinct()
     sub_side = expanded.where(F.col("side") == "subject").join(
@@ -148,7 +153,7 @@ def _pca_sizes(
     )
     return (
         sub_side.unionByName(obj_side)
-        .groupBy("p", *COMBO)
+        .groupBy("shape", "p", *COMBO)
         .agg(F.count(F.lit(1)).alias("pca_body_size"))
     )
 
@@ -223,7 +228,13 @@ def confidences(
     if min_confidence > 0.0 and not cwa:
         raise ValueError("min_confidence pruning requires cwa=True")
     side = _head_side(triples) if pca else None
-    out = None
+    # ONE materialization for the whole measure pass: every shape's body
+    # pairs are computed in a single union job (shape-tagged), then both
+    # measures aggregate the checkpointed relation. The per-shape /
+    # per-measure eager checkpoints this replaces cost ~10 job barriers —
+    # pure driver latency on small rulesets (VERDICT r01 perf note).
+    shaped_parts = []
+    pair_parts = []
     for shape in ("l2", "l3v2", "l3v3"):
         shaped = rules.where(F.col("shape") == shape)
         if shape == "l3v3" and min_confidence > 0.0:
@@ -234,26 +245,26 @@ def confidences(
                 <= F.col("support") / min_confidence
             ).drop("lb_body_size")
             shaped = shaped.localCheckpoint(eager=True)
-        pairs = body_pairs(triples, shaped, shape, injective=injective)
-        if cwa and pca:
-            # eager: both measure branches read pairs; a lazy cache lets the
-            # union's branches race and compute the path join twice
-            pairs = pairs.localCheckpoint(eager=True)
-        withsize = shaped
-        if cwa:
-            # the size aggregates are tiny (one row per surviving combo);
-            # eager-checkpointing them keeps the heavy pair joins out of the
-            # final plan so downstream actions never recompute them
-            sizes = pairs.groupBy(*COMBO).agg(
-                F.count(F.lit(1)).alias("body_size")
-            ).localCheckpoint(eager=True)
-            withsize = _combo_join(withsize, sizes, COMBO, "left")
-        if pca:
-            psizes = _pca_sizes(pairs, shaped, triples, side).localCheckpoint(
-                eager=True
-            )
-            withsize = _combo_join(withsize, psizes, ["p", *COMBO], "left")
-        out = withsize if out is None else out.unionByName(withsize)
+        shaped_parts.append(shaped)
+        pair_parts.append(
+            body_pairs(triples, shaped, shape, injective=injective)
+            .withColumn("shape", F.lit(shape))
+        )
+    out = shaped_parts[0]
+    for part in shaped_parts[1:]:
+        out = out.unionByName(part)
+    pairs = pair_parts[0]
+    for part in pair_parts[1:]:
+        pairs = pairs.unionByName(part)
+    pairs = pairs.localCheckpoint(eager=True)
+    if cwa:
+        sizes = pairs.groupBy("shape", *COMBO).agg(
+            F.count(F.lit(1)).alias("body_size")
+        )
+        out = _combo_join(out, sizes, ["shape", *COMBO], "left")
+    if pca:
+        psizes = _pca_sizes(pairs, out, triples, side)
+        out = _combo_join(out, psizes, ["shape", "p", *COMBO], "left")
     if cwa:
         out = out.withColumn(
             "cwa_confidence", F.col("support") / F.col("body_size")

@@ -268,15 +268,13 @@ def mine_shape(
 ) -> DataFrame:
     """One shape -> one distributed job -> rule rows
     (p, shape, body, head_size, support, head_coverage)."""
-    from rdfrules_spark.mining.amie import _TSEP, _btid
+    from rdfrules_spark.mining.amie import _btid, _htid
 
     b = b_rel if b_rel is not None else _b(triples)
     n = len(pairs)
     h = triples.select(
         F.col("s").alias("a"), F.col("o").alias("b"), "p"
-    ).join(F.broadcast(heads), "p").withColumn(
-        "_htid", F.concat_ws(_TSEP, F.col("a"), F.col("p"), F.col("b"))
-    )
+    ).join(F.broadcast(heads), "p").withColumn("_htid", _htid())
     order = _slot_order(pairs)
     cur = h
     bound = set(HEAD_VARS)
