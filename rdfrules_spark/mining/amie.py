@@ -58,6 +58,23 @@ class MiningParams:
     without_predicates: list | None = None
     with_duplicate_predicates: bool = True
     top_k: int | None = None
+    #: InjectiveMapping (RuleConstraint.scala:94-98, VariableMap.scala
+    #: InjectiveMapping class): support bindings must map variables to
+    #: PAIRWISE-DISTINCT constants and may not reuse a KG triple (the
+    #: triple part is the always-on distinct-triple law); head sizes and
+    #: head triples exclude reflexive facts (size(injectiveMapping),
+    #: ExpandingRule.headTriples). Auto-added by the reference's HTTP Mine
+    #: task, so product-default parity runs set this True.
+    injective: bool = False
+    #: Anytime mining (Threshold.scala:15-89, AnytimeRefinement.scala):
+    #: global wall-clock budget in seconds — the staged miners stop
+    #: LAUNCHING further shape jobs once exceeded and return the (valid)
+    #: subset mined so far. None = run to completion.
+    timeout_s: float | None = None
+    #: LocalTimeout analog (margin-error sampling, Bootstrapper): mine on
+    #: a deterministic SAMPLE of head triples and scale supports by
+    #: 1/fraction (supportIncreaseRatio). Approximate by design; None = exact.
+    head_sample_fraction: float | None = None
 
 
 def _b(triples: DataFrame) -> DataFrame:
@@ -96,14 +113,44 @@ def _htid() -> F.Column:
 
 
 def head_sizes(triples: DataFrame, params: MiningParams) -> DataFrame:
-    """Valid head predicates with sizes (HeadsFetcher.scala:24-92)."""
-    hs = triples.groupBy("p").agg(F.count(F.lit(1)).alias("head_size"))
+    """Valid head predicates with sizes (HeadsFetcher.scala:24-92);
+    injective mapping counts non-reflexive facts only (size(true))."""
+    base = triples.where(F.col("s") != F.col("o")) if params.injective else triples
+    hs = base.groupBy("p").agg(F.count(F.lit(1)).alias("head_size"))
     hs = hs.where(F.col("head_size") >= params.min_head_size)
     if params.only_predicates is not None:
         hs = hs.where(F.col("p").isin(params.only_predicates))
     if params.without_predicates is not None:
         hs = hs.where(~F.col("p").isin(params.without_predicates))
     return hs
+
+
+def _head_rel(triples: DataFrame, params: MiningParams, a: str, b: str) -> DataFrame:
+    """Head-triple relation (a, b, p) with injective reflexive exclusion
+    and optional deterministic head sampling (LocalTimeout analog)."""
+    h = triples.select(F.col("s").alias(a), F.col("o").alias(b), "p")
+    if params.injective:
+        h = h.where(F.col(a) != F.col(b))
+    if params.head_sample_fraction is not None:
+        from rdfrules_spark.functions.hashing import h60
+
+        frac = params.head_sample_fraction
+        h = h.where(
+            (h60(F.concat_ws("|", a, "p", b)) % 1_000_000)
+            < int(frac * 1_000_000)
+        )
+    return h
+
+
+def _scale_support(agg: DataFrame, params: MiningParams) -> DataFrame:
+    """supportIncreaseRatio: scale sampled supports back up (Bootstrapper
+    semantics — round to int like the reference's math.round)."""
+    if params.head_sample_fraction is None:
+        return agg
+    return agg.withColumn(
+        "support",
+        F.round(F.col("support") / params.head_sample_fraction).cast("long"),
+    )
 
 
 def _finish(agg: DataFrame, heads: DataFrame, params: MiningParams) -> DataFrame:
@@ -136,15 +183,18 @@ def mine_l2(triples: DataFrame, heads: DataFrame, params: MiningParams) -> DataF
     :5-12; pinned by the AmieSpec dup-predicate goldens 124/51143). Only
     same-predicate (duplicate-predicate) atoms can collide, so the filters
     below are no-ops for constraint-free configs."""
-    h = triples.select(F.col("s").alias("x"), F.col("o").alias("y"), "p")
+    h = _head_rel(triples, params, "x", "y")
     b = _b(triples)
     j = h.join(b, ["x", "y"]).where(
         (F.col("q") != F.col("p")) | (F.col("d") != "f")  # exclude head atom
     ).where(
         _btid() != F.xxhash64(F.col("x"), F.col("p"), F.col("y"))
     )
-    agg = j.groupBy("p", "q", F.col("d").alias("d1")).agg(
-        F.count(F.lit(1)).alias("support")  # head triples are distinct pairs
+    agg = _scale_support(
+        j.groupBy("p", "q", F.col("d").alias("d1")).agg(
+            F.count(F.lit(1)).alias("support")  # head triples are distinct pairs
+        ),
+        params,
     )
     p_type = dict(triples.dtypes)["p"]
     agg = agg.select(
@@ -158,7 +208,7 @@ def mine_l2(triples: DataFrame, heads: DataFrame, params: MiningParams) -> DataF
 def mine_l3_2var(triples: DataFrame, heads: DataFrame, params: MiningParams) -> DataFrame:
     """(?a p ?b) <- A1, A2 over the same var pair: per head triple collect
     matching atoms, count unordered atom pairs."""
-    h = triples.select(F.col("s").alias("x"), F.col("o").alias("y"), "p")
+    h = _head_rel(triples, params, "x", "y")
     b = _b(triples)
     m = h.join(b, ["x", "y"]).where(
         (F.col("q") != F.col("p")) | (F.col("d") != "f")
@@ -175,8 +225,11 @@ def mine_l3_2var(triples: DataFrame, heads: DataFrame, params: MiningParams) -> 
         (F.col("q") < F.col("r"))
         | ((F.col("q") == F.col("r")) & (F.col("d1") < F.col("d2")))
     ).where(F.col("tid1") != F.col("tid2"))
-    agg = pairs.groupBy("p", "q", "d1", "r", "d2").agg(
-        F.count(F.lit(1)).alias("support")
+    agg = _scale_support(
+        pairs.groupBy("p", "q", "d1", "r", "d2").agg(
+            F.count(F.lit(1)).alias("support")
+        ),
+        params,
     )
     agg = agg.select(
         "p", F.lit("l3v2").alias("shape"), "q", "d1", "r", "d2", "support"
@@ -196,7 +249,7 @@ def mine_l3_3var(
     c-explosion by head pairs (vs body1 ⋈ body2 which is deg² per hub).
     countDistinct head pair per (q,d1,r,d2).
     """
-    h = triples.select(F.col("s").alias("a"), F.col("o").alias("b"), "p")
+    h = _head_rel(triples, params, "a", "b")
     b = _b(triples)
     b1 = b.select(F.col("x").alias("a"), F.col("y").alias("c"),
                   F.col("q").alias("q"), F.col("d").alias("d1"),
@@ -213,8 +266,14 @@ def mine_l3_3var(
         (F.col("tid1") != F.col("tid2"))
         & (F.col("tid1") != _htid()) & (F.col("tid2") != _htid())
     )
-    agg = j.groupBy("p", "q", "d1", "r", "d2").agg(
-        F.countDistinct("a", "b").alias("support")
+    if params.injective:
+        # pairwise-distinct variable values (a != b already via _head_rel)
+        j = j.where((F.col("c") != F.col("a")) & (F.col("c") != F.col("b")))
+    agg = _scale_support(
+        j.groupBy("p", "q", "d1", "r", "d2").agg(
+            F.countDistinct("a", "b").alias("support")
+        ),
+        params,
     )
     agg = agg.select(
         "p", F.lit("l3v3").alias("shape"), "q", "d1", "r", "d2", "support"
@@ -238,6 +297,25 @@ def mine(triples: DataFrame, params: MiningParams | None = None) -> DataFrame:
     if params.without_predicates is not None:
         triples = triples.where(~F.col("p").isin(params.without_predicates))
     heads = head_sizes(triples, params)
+    if params.timeout_s is not None:
+        # anytime mining (Threshold.Timeout analog): each shape is one job;
+        # stop LAUNCHING further shapes once the budget is spent — what was
+        # mined so far is a valid (threshold-complete) subset per shape
+        import time as _time
+
+        t0 = _time.time()
+        parts = [mine_l2(triples, heads, params).localCheckpoint(eager=True)]
+        if params.max_rule_length >= 3:
+            for fn in (mine_l3_2var, mine_l3_3var):
+                if _time.time() - t0 > params.timeout_s:
+                    break
+                parts.append(
+                    fn(triples, heads, params).localCheckpoint(eager=True)
+                )
+        rules = parts[0]
+        for part in parts[1:]:
+            rules = rules.unionByName(part)
+        return rules
     rules = mine_l2(triples, heads, params)
     if params.max_rule_length >= 3:
         rules = rules.unionByName(mine_l3_2var(triples, heads, params))

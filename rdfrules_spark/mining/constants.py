@@ -418,3 +418,148 @@ def mine_constants(
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+def without_quasi_binding(
+    rules: DataFrame, triples: DataFrame, constants: str = "anywhere"
+) -> DataFrame:
+    """Drop rules where some constant-bearing atom is QUASI-BOUND — its
+    variable side takes exactly ONE value across all JOINT body bindings
+    (Ruleset.scala:151-158 withoutQuasiBinding; semantics =
+    AtomCounting.hasQuasiBinding:132-148).
+
+    Operates on mine_constants output rows. Per-shape joint binding counts
+    (each one broadcast-joined aggregation over the miner's own relations):
+      s6  single CAtom body        -> per-atom cardinality is exact;
+      s5  CAtom(a) x CAtom(b)      -> bindings are a product, per-atom
+                                      cardinality is exact per atom;
+      s4  VV(a,b) + CAtom(a|b)     -> joint: the VV atom restricts the
+                                      CAtom's head var;
+      s8  VV(f,c) + CAtom(c)       -> joint over the shared ?c;
+      s9  CAtom(f) + CAtom(f)      -> joint over the shared free var;
+      var-only shapes pass through.
+    Brute-checked against a binding-enumeration replica in
+    tests/test_multigraph_quasi_anytime.py.
+    """
+    b = _b(triples)
+    ca = _catoms(triples, constants)
+
+    def ca_parts(atom_col):
+        parts = F.split(atom_col, "\\|")
+        e = F.when(F.get(parts, 0).startswith("C="), F.lit("o")).otherwise("s")
+        cst = F.when(e == "o", F.substring(F.get(parts, 0), 3, 1 << 20)) \
+            .otherwise(F.substring(F.get(parts, 2), 3, 1 << 20))
+        return F.get(parts, 1).alias("q2"), cst.alias("cst"), e.alias("e")
+
+    def is_ca(atom_col):
+        return atom_col.contains("C=")
+
+    quasi_parts = []
+
+    # --- per-atom cardinality (exact for s5 / s6) -------------------------
+    ca_card = ca.groupBy("q2", "cst", "e").agg(
+        F.countDistinct("x").alias("_n")
+    )
+    solo = rules.where(F.col("shape").isin("s5", "s6")).select(
+        "head", "atoms", F.explode("atoms").alias("_atom")
+    ).where(is_ca(F.col("_atom")))
+    solo = solo.select("head", "atoms", *ca_parts(F.col("_atom")))
+    quasi_parts.append(
+        solo.join(F.broadcast(ca_card), ["q2", "cst", "e"], "left")
+        .where(F.coalesce(F.col("_n"), F.lit(0)) <= 1)
+        .select("head", "atoms")
+    )
+
+    # --- s4: VV(a,b) + CAtom on a or b ------------------------------------
+    s4 = rules.where(F.col("shape") == "s4")
+    if s4.head(1):
+        sel = s4.select(
+            "head", "atoms",
+            F.filter(F.col("atoms"), lambda a: ~is_ca(a))[0].alias("_vv"),
+            F.filter(F.col("atoms"), lambda a: is_ca(a))[0].alias("_ca"),
+        )
+        vparts = F.split(F.col("_vv"), "\\|")
+        keyed = sel.select(
+            "head", "atoms",
+            F.get(vparts, 1).alias("q"),
+            F.when(F.get(vparts, 0) == "?a", "f").otherwise("i").alias("d"),
+            F.when(F.col("_ca").contains("?a"), "a").otherwise("b")
+            .alias("role"),
+            *ca_parts(F.col("_ca")),
+        )
+        for role, bvar in (("a", "x"), ("b", "y")):
+            jn = (
+                b.join(ca.withColumnRenamed("x", "_e"),
+                       F.col(bvar) == F.col("_e"))
+                .groupBy("q", "d", "q2", "cst", "e")
+                .agg(F.countDistinct(bvar).alias("_jn"))
+            )
+            quasi_parts.append(
+                keyed.where(F.col("role") == role)
+                .join(jn, ["q", "d", "q2", "cst", "e"], "left")
+                .where(F.coalesce(F.col("_jn"), F.lit(0)) <= 1)
+                .select("head", "atoms")
+            )
+
+    # --- s8: VV(f,c) + CAtom(c) -------------------------------------------
+    s8 = rules.where(F.col("shape") == "s8")
+    if s8.head(1):
+        sel = s8.select(
+            "head", "atoms",
+            F.filter(F.col("atoms"), lambda a: ~is_ca(a))[0].alias("_vv"),
+            F.filter(F.col("atoms"), lambda a: is_ca(a))[0].alias("_ca"),
+        )
+        vparts = F.split(F.col("_vv"), "\\|")
+        keyed = sel.select(
+            "head", "atoms",
+            F.get(vparts, 1).alias("q"),
+            F.when(F.get(vparts, 2) == "?c", "f").otherwise("i").alias("d"),
+            *ca_parts(F.col("_ca")),
+        )
+        jn = (
+            b.join(ca.withColumnRenamed("x", "_c"), b.y == F.col("_c"))
+            .groupBy("q", "d", "q2", "cst", "e")
+            .agg(F.countDistinct("y").alias("_jn"))
+        )
+        quasi_parts.append(
+            keyed.join(jn, ["q", "d", "q2", "cst", "e"], "left")
+            .where(F.coalesce(F.col("_jn"), F.lit(0)) <= 1)
+            .select("head", "atoms")
+        )
+
+    # --- s9: two CAtoms on the shared free var ----------------------------
+    s9 = rules.where(F.col("shape") == "s9")
+    if s9.head(1):
+        a1 = F.get(F.col("atoms"), 0)
+        a2 = F.get(F.col("atoms"), 1)
+        p1 = [c.alias(n) for c, n in zip(ca_parts(a1), ("q2a", "csta", "ea"))]
+        p2 = [c.alias(n) for c, n in zip(ca_parts(a2), ("q2b", "cstb", "eb"))]
+        keyed = s9.select("head", "atoms", *p1, *p2)
+        ca2 = ca.select(
+            F.col("x"), F.col("q2").alias("q2b"), F.col("cst").alias("cstb"),
+            F.col("e").alias("eb"),
+        )
+        jn = (
+            ca.join(ca2, "x")
+            .groupBy("q2", "cst", "e", "q2b", "cstb", "eb")
+            .agg(F.countDistinct("x").alias("_jn"))
+            .withColumnRenamed("q2", "q2a").withColumnRenamed("cst", "csta")
+            .withColumnRenamed("e", "ea")
+        )
+        quasi_parts.append(
+            keyed.join(jn, ["q2a", "csta", "ea", "q2b", "cstb", "eb"], "left")
+            .where(F.coalesce(F.col("_jn"), F.lit(0)) <= 1)
+            .select("head", "atoms")
+        )
+
+    bad = quasi_parts[0]
+    for part in quasi_parts[1:]:
+        bad = bad.unionByName(part)
+    bad = bad.distinct().withColumnRenamed("head", "_h").withColumnRenamed(
+        "atoms", "_a"
+    )
+    return rules.join(
+        bad,
+        (rules["head"] == bad["_h"]) & (rules["atoms"] == bad["_a"]),
+        "left_anti",
+    )

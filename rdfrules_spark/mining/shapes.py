@@ -270,11 +270,13 @@ def mine_shape(
     (p, shape, body, head_size, support, head_coverage)."""
     from rdfrules_spark.mining.amie import _btid, _htid
 
+    from rdfrules_spark.mining.amie import _head_rel, _scale_support
+
     b = b_rel if b_rel is not None else _b(triples)
     n = len(pairs)
-    h = triples.select(
-        F.col("s").alias("a"), F.col("o").alias("b"), "p"
-    ).join(F.broadcast(heads), "p").withColumn("_htid", _htid())
+    h = _head_rel(triples, params, "a", "b").join(
+        F.broadcast(heads), "p"
+    ).withColumn("_htid", _htid())
     order = _slot_order(pairs)
     cur = h
     bound = set(HEAD_VARS)
@@ -339,10 +341,18 @@ def mine_shape(
             qs, ds = labels[pi[t]]
             permuted.extend([qs, _flip(ds) if flips[t] else ds])
         cur = cur.where(_lex_le(flat, permuted))
+    if params.injective:
+        # pairwise-distinct variable values (InjectiveMapping)
+        all_vars = sorted(bound)
+        for i, u in enumerate(all_vars):
+            for v in all_vars[i + 1:]:
+                cur = cur.where(F.col(u) != F.col(v))
     label_cols = [c for i in range(n) for c in (f"q{i}", f"d{i}")]
-    agg = (
+    agg = _scale_support(
         cur.groupBy("p", "head_size", *label_cols)
-        .agg(F.countDistinct("a", "b").alias("support"))
+        .agg(F.countDistinct("a", "b").alias("support")), params)
+    agg = (
+        agg
         .withColumn("head_coverage", F.col("support") / F.col("head_size"))
         .where(
             (F.col("support") >= params.min_support)
@@ -376,12 +386,24 @@ def mine_upto(triples: DataFrame, params: MiningParams | None = None) -> DataFra
         triples = triples.where(~F.col("p").isin(params.without_predicates))
     heads = head_sizes(triples, params)
     b = _b(triples).localCheckpoint(eager=True)
+    import time as _time
+
+    t0 = _time.time()
     out = None
     for k in range(1, params.max_rule_length):
         for pairs in enumerate_shapes(k):
             if not shape_reachable(pairs, params.max_rule_length):
                 continue
+            if (
+                params.timeout_s is not None
+                and out is not None
+                and _time.time() - t0 > params.timeout_s
+            ):
+                # anytime: stop launching further shape jobs (Timeout)
+                return out
             r = mine_shape(triples, heads, pairs, params, b_rel=b)
+            if params.timeout_s is not None:
+                r = r.localCheckpoint(eager=True)
             out = r if out is None else out.unionByName(r)
     if params.top_k:
         kth = (

@@ -1448,6 +1448,62 @@ def q_mine_l4_rules(spark, sf_dir):
 
 
 @register(
+    "multigraph_l2_rules",
+    f"""
+    with {_KG_W_SQL},
+    t0 as (select distinct concat('w:', s_surf) as s, p, concat('w:', o_surf) as o
+           from w where p <> 'dup'),
+    quads as (select s, p, o,
+                     case when {h60_sql("s")} % 2 = 0 then 'g0' else 'g1' end as g
+              from t0),
+    t as (select distinct s, p, o from quads),
+    heads as (select p, count(*) as head_size from t group by p
+              having count(*) >= 50),
+    b as (select s as x, o as y, p as q, 'f' as d,
+                 concat_ws('|', s, p, o) as tid from t
+          union all
+          select o as x, s as y, p as q, 'i' as d,
+                 concat_ws('|', s, p, o) from t),
+    agg as (select t.p, b.q, b.d as d1, count(*) as support
+            from t join b on t.s = b.x and t.o = b.y
+            where (b.q <> t.p or b.d <> 'f')
+              and b.tid <> concat_ws('|', t.s, t.p, t.o)
+            group by t.p, b.q, b.d),
+    rules as (select agg.p, agg.q, agg.d1, heads.head_size, agg.support
+              from agg join heads on agg.p = heads.p
+              where agg.support >= 2
+                and agg.support / heads.head_size >= 0.01),
+    pg as (select p, list_sort(list(distinct g)) as graphs
+           from quads group by p)
+    select r.p, r.q, r.d1, r.head_size, r.support,
+           ph.graphs as g_head, pq.graphs as g1
+    from rules r
+    join pg ph on ph.p = r.p
+    join pg pq on pq.p = r.q
+    """,
+)
+def q_multigraph_l2_rules(spark, sf_dir):
+    """Multi-graph mining + graphAwareRules (Ruleset.scala:160-170): the KG
+    split into two graphs by a deterministic hash; every rule atom carries
+    the graph set its predicate occurs in."""
+    from rdfrules_spark.functions.hashing import h60
+    from rdfrules_spark.mining.amie import MiningParams
+    from rdfrules_spark.mining.multigraph import graph_aware_rules, mine_quads
+
+    quads = _kg_triples_df(spark, sf_dir).withColumn(
+        "g",
+        F.when(h60(F.col("s")) % 2 == 0, "g0").otherwise("g1"),
+    )
+    params = MiningParams(min_head_size=50, min_support=2,
+                          min_head_coverage=0.01, max_rule_length=2)
+    rules = mine_quads(quads, params)
+    out = graph_aware_rules(rules, quads)
+    return out.select(
+        "p", "q", "d1", "head_size", "support", "g_head", "g1"
+    )
+
+
+@register(
     "mine_l2_cwa_confidence",
     f"""
     with {_MINE_BASE_SQL},
