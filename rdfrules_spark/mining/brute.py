@@ -145,8 +145,9 @@ def mine_brute_constants(
     min_support: int = 1,
     min_hc: float = 0.01,
     max_len: int = 3,
-    constants: str = "anywhere",   # anywhere | subject | object | lcs
+    constants: str = "anywhere",   # anywhere | subject | object | lcs | nowhere
     with_dup: bool = True,
+    constants_for_predicates: dict | None = None,
 ) -> dict:
     """-> {(head, frozenset(body)): support}; head/atom terms are '?a'/'?b'/
     '?c' or ('C', value)."""
@@ -167,8 +168,17 @@ def mine_brute_constants(
     lside = {p: _lower_side(subs[p], objs[p]) for p in by_p}
 
     def const_ok(pred, pos):  # pos: position of the CONSTANT in the atom
+        if constants_for_predicates is not None and pred in constants_for_predicates:
+            cp = constants_for_predicates[pred]
+            if cp == "both":
+                return True
+            if cp == "lcs":
+                return pos == lside[pred]
+            return (cp == "subject") == (pos == "s")
         if constants == "anywhere":
             return True
+        if constants == "nowhere":
+            return False
         if constants == "subject":
             return pos == "s"
         if constants == "object":

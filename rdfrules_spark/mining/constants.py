@@ -67,9 +67,20 @@ def _const_side(triples: DataFrame, constants: str) -> DataFrame | None:
     )
 
 
-def _catoms(triples: DataFrame, constants: str) -> DataFrame:
+def _catoms(
+    triples: DataFrame, constants: str,
+    constants_for_predicates: dict | None = None,
+) -> DataFrame:
     """Instantiated-atom relation CA(x, q2, cst, e): binding entity x via an
-    atom with the constant on the other side; e = the VARIABLE's position."""
+    atom with the constant on the other side; e = the VARIABLE's position.
+
+    ``constants_for_predicates`` (RuleConstraint.ConstantsForPredicates,
+    RuleConstraint.scala:48-68): per-predicate constant-position override —
+    {predicate: 'subject'|'object'|'lcs'|'both'}. Listed predicates follow
+    their own position regardless of the global policy; unlisted
+    predicates follow the global ``constants`` policy (so 'nowhere' +
+    a map instantiates ONLY the listed predicates — the reference's
+    instantiatedPositionForPredicate dispatch)."""
     sub = triples.select(
         F.col("s").alias("x"), F.col("p").alias("q2"),
         F.col("o").alias("cst"), F.lit("s").alias("e"),
@@ -80,18 +91,57 @@ def _catoms(triples: DataFrame, constants: str) -> DataFrame:
         F.col("s").alias("cst"), F.lit("o").alias("e"),
         F.xxhash64("s", "p", "o").alias("ctid"),
     )  # atom (C q2 ?x)  — constant at subject
-    if constants == "object":
-        return sub
-    if constants == "subject":
-        return obj
-    ca = sub.unionByName(obj)
-    if constants == "lcs":
-        side = _const_side(triples, constants)
-        ca = ca.join(F.broadcast(side.withColumnRenamed("p", "q2")), "q2").where(
-            ((F.col("e") == "s") & (F.col("cpos") == "o"))
-            | ((F.col("e") == "o") & (F.col("cpos") == "s"))
-        ).drop("cpos")
-    return ca
+    both = sub.unionByName(obj)
+
+    def by_policy(rel_sub, rel_obj, rel_both, policy):
+        if policy == "object":
+            return rel_sub          # constant at object = var at subject
+        if policy == "subject":
+            return rel_obj
+        if policy in ("both", "anywhere"):
+            return rel_both
+        if policy == "lcs":
+            side = _const_side(triples, "lcs")
+            return rel_both.join(
+                F.broadcast(side.withColumnRenamed("p", "q2")), "q2"
+            ).where(
+                ((F.col("e") == "s") & (F.col("cpos") == "o"))
+                | ((F.col("e") == "o") & (F.col("cpos") == "s"))
+            ).drop("cpos")
+        # 'nowhere'
+        return rel_both.limit(0)
+
+    if constants_for_predicates is None:
+        return by_policy(sub, obj, both, constants)
+    listed = list(constants_for_predicates)
+    base = by_policy(
+        sub.where(~F.col("q2").isin(listed)),
+        obj.where(~F.col("q2").isin(listed)),
+        both.where(~F.col("q2").isin(listed)),
+        constants,
+    )
+    spark = triples.sparkSession
+    cfp = F.broadcast(spark.createDataFrame(
+        [(p, pos) for p, pos in constants_for_predicates.items()],
+        "q2 string, _pos string",
+    ))
+    lside = _const_side(triples, "lcs").withColumnRenamed("p", "q2")
+    overridden = (
+        both.where(F.col("q2").isin(listed))
+        .join(cfp, "q2")
+        .join(F.broadcast(lside), "q2", "left")
+        .where(
+            (F.col("_pos") == "both")
+            | ((F.col("_pos") == "object") & (F.col("e") == "s"))
+            | ((F.col("_pos") == "subject") & (F.col("e") == "o"))
+            | ((F.col("_pos") == "lcs") & (
+                ((F.col("e") == "s") & (F.col("cpos") == "o"))
+                | ((F.col("e") == "o") & (F.col("cpos") == "s"))
+            ))
+        )
+        .drop("_pos", "cpos")
+    )
+    return base.unionByName(overridden)
 
 
 def _vv_str(u: str, v: str, q, d):
@@ -140,6 +190,7 @@ def mine_constants(
     triples: DataFrame,
     params: MiningParams | None = None,
     constants: str = "anywhere",
+    constants_for_predicates: dict | None = None,
 ) -> DataFrame:
     """Complete closed-rule set (lengths 2..max_rule_length, constants per
     `constants` policy) INCLUDING the constant-free shapes, as canonical
@@ -154,7 +205,7 @@ def mine_constants(
     heads = heads.where(F.col("head_size") >= params.min_head_size)
 
     b = _b(triples).withColumn("tid", _btid())
-    ca = _catoms(triples, constants)
+    ca = _catoms(triples, constants, constants_for_predicates)
     h0 = triples.join(F.broadcast(heads.select("p")), "p").select(
         "p", F.col("s").alias("a"), F.col("o").alias("bb"),
         F.xxhash64("s", "p", "o").alias("htid"),
@@ -240,7 +291,7 @@ def mine_constants(
             )), "l3v3",
         ))
 
-        if constants != "nowhere":
+        if constants != "nowhere" or constants_for_predicates:
             # S4: {VV(a,b), CAtom on a or b} — gated by l2 survivors
             for role, key in (("?a", "a"), ("?b", "bb")):
                 j = ms.join(ca, ms[key] == ca["x"]).where(
@@ -291,19 +342,52 @@ def mine_constants(
             ))
 
     # ---------------- instantiated heads ----------------
-    if constants != "nowhere":
+    if constants != "nowhere" or constants_for_predicates:
         for fixed_pos, fvar in (("s", "?b"), ("o", "?a")):
-            if constants == "object" and fixed_pos == "s":
-                continue
-            if constants == "subject" and fixed_pos == "o":
-                continue
+            cfp = constants_for_predicates
+            if cfp is None:
+                if constants == "object" and fixed_pos == "s":
+                    continue
+                if constants == "subject" and fixed_pos == "o":
+                    continue
             ih = h0.select(
                 "p",
                 (F.col("a") if fixed_pos == "s" else F.col("bb")).alias("A"),
                 (F.col("bb") if fixed_pos == "s" else F.col("a")).alias("f"),
                 "htid",
             )
-            if constants == "lcs":
+            if cfp is not None:
+                # per-predicate head-constant dispatch (HeadsFetcher
+                # resolvedConstantsPosition): listed predicates follow the
+                # map, unlisted ones the global policy
+                listed_ok = [
+                    p for p, pos in cfp.items()
+                    if pos == "both"
+                    or (pos == "subject" and fixed_pos == "s")
+                    or (pos == "object" and fixed_pos == "o")
+                    or pos == "lcs"
+                ]
+                lcs_listed = [p for p, pos in cfp.items() if pos == "lcs"]
+                g_ok = (
+                    constants in ("anywhere", "lcs")
+                    or (constants == "subject" and fixed_pos == "s")
+                    or (constants == "object" and fixed_pos == "o")
+                )
+                cond = F.col("p").isin(listed_ok)
+                if g_ok:
+                    cond = cond | ~F.col("p").isin(list(cfp))
+                ih = ih.where(cond)
+                if lcs_listed or constants == "lcs":
+                    side = _const_side(triples, "lcs")
+                    ih = ih.join(F.broadcast(side), "p", "left").where(
+                        ~(
+                            F.col("p").isin(lcs_listed)
+                            | (F.lit(constants == "lcs")
+                               & ~F.col("p").isin(list(cfp)))
+                        )
+                        | (F.col("cpos") == fixed_pos)
+                    ).drop("cpos")
+            elif constants == "lcs":
                 side = _const_side(triples, constants)
                 ih = ih.join(F.broadcast(side), "p").where(
                     F.col("cpos") == fixed_pos

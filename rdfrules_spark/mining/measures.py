@@ -407,3 +407,49 @@ def lift(
     return rules.join(F.broadcast(mp), "p", "left").withColumn(
         "lift", F.col(conf_col) / F.col("mode_probability")
     )
+
+
+def recount_support(rules: DataFrame, triples: DataFrame) -> DataFrame:
+    """computeSupport / computeHeadCoverage on a (possibly different)
+    triple set (Ruleset.scala:172-184): re-derive support and head size for
+    the EXISTING rule keys against `triples`, keeping every rule row (a
+    rule with no matches gets support 0). Same distinct-triple semantics
+    as mining. One job per shape, semi-filtered to the surviving combos —
+    never a full re-mine."""
+    from rdfrules_spark.mining.amie import _htid
+
+    head = triples.select(
+        F.col("s").alias("a"), F.col("o").alias("b"), "p"
+    ).withColumn("_ht", _htid())
+    new_hs = triples.groupBy("p").agg(F.count(F.lit(1)).alias("_nhs"))
+    out = None
+    for shape in ("l2", "l3v2", "l3v3"):
+        shaped = rules.where(F.col("shape") == shape)
+        pairs = body_pairs(triples, shaped, shape)
+        support = (
+            _combo_join(
+                head.join(
+                    pairs.withColumnRenamed("a", "_a").withColumnRenamed(
+                        "b", "_b"
+                    ),
+                    (F.col("a") == F.col("_a")) & (F.col("b") == F.col("_b")),
+                ),
+                shaped.select("p", *COMBO).distinct(), ["p", *COMBO],
+                broadcast_right=True,
+            )
+            .groupBy("p", *COMBO)
+            .agg(F.countDistinct("a", "b").alias("_nsup"))
+        )
+        part = _combo_join(shaped, support, ["p", *COMBO], "left")
+        out = part if out is None else out.unionByName(part)
+    return (
+        out.join(F.broadcast(new_hs), "p", "left")
+        .withColumn("support", F.coalesce(F.col("_nsup"), F.lit(0)))
+        .withColumn("head_size", F.coalesce(F.col("_nhs"), F.lit(0)))
+        .withColumn(
+            "head_coverage",
+            F.when(F.col("head_size") > 0,
+                   F.col("support") / F.col("head_size")).otherwise(0.0),
+        )
+        .drop("_nsup", "_nhs")
+    )

@@ -245,3 +245,125 @@ def evaluate_completeness(predicted: DataFrame, test: DataFrame) -> DataFrame:
         [(tp, fp, fn, prec, rec, f1)],
         "tp bigint, fp bigint, fn bigint, precision double, recall double, f1 double",
     )
+
+
+def select_candidates(
+    ranked_tasks: DataFrame,
+    train: DataFrame,
+    strategy: str = "topk",
+    k: int = 10,
+) -> DataFrame:
+    """Candidate selection strategies (http:task/predictionTasks/Select
+    .scala:8-33; PredictionTaskResult.scala:100-117):
+
+      'topk'  rank <= k;
+      'pca'   keep the TOP-1 candidate only for tasks whose fixed entity
+              has NO existing fact for the predicate in train, else none
+              (selectByPca);
+      'qpca'  remaining slots = averageCardinality(target side) - current
+              cardinality of (fixed entity, p); keep rank <= slots
+              (selectByQpca; averages rounded half-up like
+              TripleIndex.countAverageCardinality).
+    """
+    if strategy == "topk":
+        return ranked_tasks.where(F.col("rank") <= k)
+    # current cardinality of the fixed entity for p on the predicted side
+    cur_s = train.groupBy(
+        "p", F.col("o").alias("fixed_entity")
+    ).agg(F.countDistinct("s").alias("_cur")).withColumn(
+        "predict_side", F.lit("subject")
+    )
+    cur_o = train.groupBy(
+        "p", F.col("s").alias("fixed_entity")
+    ).agg(F.countDistinct("o").alias("_cur")).withColumn(
+        "predict_side", F.lit("object")
+    )
+    cur = cur_s.unionByName(cur_o)
+    joined = ranked_tasks.join(
+        cur, ["p", "predict_side", "fixed_entity"], "left"
+    ).withColumn("_cur", F.coalesce(F.col("_cur"), F.lit(0)))
+    if strategy == "pca":
+        return joined.where(
+            (F.col("_cur") == 0) & (F.col("rank") == 1)
+        ).drop("_cur")
+    if strategy == "qpca":
+        # target var Subject -> averageObjectCardinality (= mean subjects
+        # per object, count/#distinct objects) and vice versa
+        avg = train.groupBy("p").agg(
+            F.round(F.count(F.lit(1)) / F.countDistinct("o")).cast("long")
+            .alias("_avg_for_subject"),
+            F.round(F.count(F.lit(1)) / F.countDistinct("s")).cast("long")
+            .alias("_avg_for_object"),
+        )
+        out = joined.join(F.broadcast(avg), "p").withColumn(
+            "_slots",
+            F.when(F.col("predict_side") == "subject",
+                   F.col("_avg_for_subject")).otherwise(
+                F.col("_avg_for_object")) - F.col("_cur"),
+        )
+        return out.where(F.col("rank") <= F.col("_slots")).drop(
+            "_cur", "_avg_for_subject", "_avg_for_object", "_slots"
+        )
+    raise ValueError(strategy)
+
+
+def with_modes(
+    ranked_tasks: DataFrame, train: DataFrame, n_modes: int = 1
+) -> DataFrame:
+    """Append each predicate's most frequent target entities ("modes") to
+    every task (http:task/predictionTasks/WithModes; mode stats
+    core:index/TripleIndex.scala:119-127). Mode rows carry result='Mode'
+    and continue the rank sequence after the task's own candidates."""
+    tgt_s = train.select("p", F.col("s").alias("candidate")).withColumn(
+        "predict_side", F.lit("subject")
+    )
+    tgt_o = train.select("p", F.col("o").alias("candidate")).withColumn(
+        "predict_side", F.lit("object")
+    )
+    counts = tgt_s.unionByName(tgt_o).groupBy(
+        "p", "predict_side", "candidate"
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy("p", "predict_side").orderBy(
+        F.desc("_n"), F.asc("candidate")
+    )
+    modes = counts.withColumn("_mrk", F.row_number().over(w)).where(
+        F.col("_mrk") <= n_modes
+    )
+    tasks = ranked_tasks.select(
+        "p", "predict_side", "fixed_entity"
+    ).distinct()
+    max_rank = ranked_tasks.groupBy(
+        "p", "predict_side", "fixed_entity"
+    ).agg(F.max("rank").alias("_maxr"))
+    mode_rows = (
+        tasks.join(modes, ["p", "predict_side"])
+        .join(max_rank, ["p", "predict_side", "fixed_entity"])
+        # drop modes already present as candidates
+        .join(
+            ranked_tasks.select(
+                "p", "predict_side", "fixed_entity", "candidate"
+            ),
+            ["p", "predict_side", "fixed_entity", "candidate"],
+            "left_anti",
+        )
+        .select(
+            "p", "predict_side", "fixed_entity", "candidate",
+            F.lit(None).cast("double").alias("score"),
+            F.lit("Mode").alias("result"),
+            (F.col("_maxr") + F.col("_mrk")).cast("int").alias("rank"),
+        )
+    )
+    base = ranked_tasks.select(
+        "p", "predict_side", "fixed_entity", "candidate", "score",
+        "result", "rank",
+    )
+    return base.unionByName(mode_rows)
+
+
+def merged_triples(train: DataFrame, test: DataFrame) -> DataFrame:
+    """Train+test merged view (core:index/MergedTripleIndex,
+    TrainTestIndex): the union graph used for Qpca thresholds and
+    merged-binding prediction."""
+    return train.select("s", "p", "o").unionByName(
+        test.select("s", "p", "o")
+    ).distinct()

@@ -256,3 +256,117 @@ def test_without_quasi_binding_matches_brute(spark):
         else:
             assert key in got_kept, key
     mined.unpersist()
+
+
+def test_constants_for_predicates_matches_brute(spark):
+    from rdfrules_spark.mining.brute import _atom_str, mine_brute_constants
+    from rdfrules_spark.mining.constants import mine_constants
+
+    from rdfrules_spark.corpus import synth_kg
+
+    t = synth_kg(spark, 1500, n_entities=150, n_predicates=6).distinct().cache()
+    rows = [(r.s, r.p, r.o) for r in t.collect()]
+    cfp = {"r0": "object", "r1": "both", "r2": "lcs"}
+    for global_policy in ("nowhere", "subject"):
+        brute = mine_brute_constants(
+            rows, min_head_size=40, min_support=2, min_hc=0.02,
+            constants=global_policy, with_dup=True,
+            constants_for_predicates=cfp,
+        )
+        bset = {(_atom_str(h), tuple(sorted(_atom_str(a) for a in body)), sup)
+                for (h, body), sup in brute.items()}
+        params = MiningParams(min_head_size=40, min_support=2,
+                              min_head_coverage=0.02)
+        out = mine_constants(
+            t, params, constants=global_policy,
+            constants_for_predicates=cfp,
+        ).collect()
+        sset = {(r.head, tuple(sorted(r.atoms)), r.support) for r in out}
+        assert sset == bset, global_policy
+    t.unpersist()
+
+
+def test_select_candidates_strategies(spark):
+    from rdfrules_spark.prediction import select_candidates
+
+    train = spark.createDataFrame(
+        [("e1", "p", "x1"), ("e1", "p", "x2"), ("e2", "p", "x1"),
+         ("e3", "q", "y1")],
+        "s string, p string, o string",
+    )
+    # tasks predict the SUBJECT side for p (fixed = object)
+    ranked = spark.createDataFrame(
+        [("p", "subject", "x1", "e9", 0.9, "Negative", 1),
+         ("p", "subject", "x1", "e8", 0.8, "Negative", 2),
+         ("p", "subject", "x9", "e7", 0.7, "Negative", 1),
+         ("p", "subject", "x9", "e6", 0.6, "Negative", 2)],
+        "p string, predict_side string, fixed_entity string, "
+        "candidate string, score double, result string, rank int",
+    )
+    # PCA: x1 HAS existing subjects -> dropped; x9 has none -> top-1 kept
+    pca = {(r.fixed_entity, r.candidate)
+           for r in select_candidates(ranked, train, "pca").collect()}
+    assert pca == {("x9", "e7")}
+    # QPCA: avg subjects per object = round(3/2) = 2 (p has 3 facts,
+    # 2 distinct objects); x1 already has 2 subjects -> 0 slots; x9 -> 2
+    qpca = {(r.fixed_entity, r.candidate)
+            for r in select_candidates(ranked, train, "qpca").collect()}
+    assert qpca == {("x9", "e7"), ("x9", "e6")}
+
+
+def test_with_modes_appends(spark):
+    from rdfrules_spark.prediction import with_modes
+
+    train = spark.createDataFrame(
+        [("m1", "p", "z"), ("m1", "p", "y"), ("m2", "p", "z")],
+        "s string, p string, o string",
+    )
+    ranked = spark.createDataFrame(
+        [("p", "subject", "z", "m9", 0.9, "Negative", 1)],
+        "p string, predict_side string, fixed_entity string, "
+        "candidate string, score double, result string, rank int",
+    )
+    out = with_modes(ranked, train, n_modes=1).collect()
+    # mode subject for p = m1 (2 facts) appended after the candidate
+    rows = {(r.candidate, r.result, r.rank) for r in out}
+    assert ("m9", "Negative", 1) in rows
+    assert ("m1", "Mode", 2) in rows
+
+
+def test_prefix_ops_roundtrip(spark):
+    from rdfrules_spark.sources.prefixes import (
+        compact_graph,
+        expand_graph,
+        resolve_prefixes,
+        with_prefixed_uris,
+    )
+
+    pfx = {"ex": "http://ex.org/", "exv": "http://ex.org/vocab/"}
+    df = spark.createDataFrame(
+        [("http://ex.org/a", "http://ex.org/vocab/knows", "http://other/x")],
+        "s string, p string, o string",
+    )
+    c = compact_graph(df, pfx).first()
+    assert (c.s, c.p, c.o) == ("ex:a", "exv:knows", "http://other/x")
+    back = expand_graph(compact_graph(df, pfx), pfx).first()
+    assert (back.s, back.p, back.o) == tuple(df.first())
+
+
+def test_recount_support_on_other_index(spark):
+    from rdfrules_spark.mining.measures import recount_support
+
+    t1 = spark.createDataFrame(
+        [(f"e{i}", "p", f"e{(i + 1) % 20}") for i in range(20)]
+        + [(f"e{i}", "q", f"e{(i + 1) % 20}") for i in range(20)],
+        "s string, p string, o string",
+    )
+    params = MiningParams(min_head_size=10, min_support=1,
+                          min_head_coverage=0.01, max_rule_length=2)
+    rules = mine(t1, params)
+    # second index drops half of q
+    t2 = t1.where((F.col("p") != "q") | (F.col("s").isin(
+        *[f"e{i}" for i in range(10)])))
+    re = {(r.p, r.q, r.d1): (r.support, r.head_size)
+          for r in recount_support(rules, t2).collect()}
+    assert re[("p", "q", "f")] == (10, 20)  # only 10 q-facts remain
+    assert re[("q", "p", "f")][1] == 10     # q head size shrank
