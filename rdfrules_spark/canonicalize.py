@@ -55,9 +55,14 @@ def connected_components(
         )
         prop = (
             labels.join(neigh, "node", "left")
-            .select("node", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+            .select(
+                "node", F.col("label").alias("old"),
+                F.least("label", F.coalesce("nmin", "label")).alias("label"),
+            )
         )
-        # pointer jumping: label <- label(label)
+        # pointer jumping: label <- label(label); the old label rides along
+        # so convergence needs NO second join+count job per round — one
+        # materialization plus a take(1) probe (early-exits on first hit)
         jump = (
             prop.join(
                 prop.select(
@@ -66,16 +71,14 @@ def connected_components(
                 "label",
                 "left",
             )
-            .select("node", F.coalesce("label2", "label").alias("label"))
+            .select("node", "old", F.coalesce("label2", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jump.join(labels.withColumnRenamed("label", "old"), "node")
-            .where(F.col("label") != F.col("old"))
-            .count()
+        changed = bool(
+            jump.where(F.col("label") != F.col("old")).take(1)
         )
-        labels = jump
-        if changed == 0:
+        labels = jump.drop("old")
+        if not changed:
             break
     return labels.select("node", F.col("label").alias("canon"))
 

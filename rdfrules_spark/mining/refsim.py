@@ -66,6 +66,14 @@ class SimParams:
     #: 'nowhere' (no constants), None (both positions), 'subject', 'object',
     #: 'lower' (predicate's lowerCardinalitySide)
     constants_position: str | None = "nowhere"
+    #: distinct-triple support counting (no binding maps two atoms of the
+    #: rule, head included, to one KG triple). Diagnostic switch.
+    ndt: bool = True
+    #: faithful QuasiBindingFilter (RuleFilter.scala:334-343): a NEW atom
+    #: containing a constant must admit >= 2 distinct bindings of its
+    #: variable over (parent body + new atom), head EXCLUDED, counted with
+    #: plain non-injective semantics. Applied at every refinement step.
+    quasi: bool = False
 
     @property
     def max_dangling_variables(self) -> int:
@@ -157,16 +165,19 @@ class Index:
         ns, no = len(self.po[p]), len(self.ps[p])
         return "object" if ns >= no else "subject"
 
-    def bindings(self, atoms, binding, used: frozenset = frozenset()):
+    def bindings(self, atoms, binding, used: frozenset | None = frozenset()):
         """Generator of (binding, used_triples) for the atom list (constant
         items fixed). DISTINCT-TRIPLE semantics: no atom may bind a triple
         in ``used`` (seed with the head triple), and no two atoms may bind
         the same triple — the reference bans "two identical instantiated
         atoms in the rule" (RuleFilter.scala NoRepeatedGroups deprecation
         note; VariableMap.scala:5-12 commentary; pinned empirically by the
-        AmieSpec dup+constants golden 51143, see mine_reference_order)."""
+        AmieSpec dup+constants golden 51143, see mine_reference_order).
+        ``used=None`` disables the tracking entirely (plain existential
+        counting — NonInjectiveMapping, VariableMap.scala:378-407); the
+        yielded used-set is then always empty."""
         if not atoms:
-            yield binding, used
+            yield binding, (used if used is not None else frozenset())
             return
 
         def val(x, b):
@@ -185,6 +196,14 @@ class Index:
         sb, ob = val(s, binding), val(o, binding)
 
         def emit(ss, oo):
+            if used is None:
+                b2 = dict(binding)
+                if is_var(s):
+                    b2[s] = ss
+                if is_var(o):
+                    b2[o] = oo
+                yield from self.bindings(rest, b2, None)
+                return
             t = (ss, p, oo)
             if t in used:
                 return
@@ -362,6 +381,23 @@ def _expand(rule: Rule, atom, support: int) -> Rule:
     )
 
 
+def _quasi_ok(idx: Index, body: list, atom) -> bool:
+    """QuasiBindingFilter (RuleFilter.scala:334-343): the new instantiated
+    atom must admit >= 2 distinct bindings of its variable over
+    (parent body + new atom). The pseudo-head is (subject, ZERO, object) of
+    the new atom, so only its variable side is counted; the rule head is
+    NOT part of the counted atom set; counting is plain non-injective
+    (countDistinctPairs with VariableMap(injectiveMapping=false)) and stops
+    as soon as 2 distinct values are found (maxCount=1.0)."""
+    var = atom[0] if is_var(atom[0]) else atom[2]
+    seen = set()
+    for bd, _ in idx.bindings(body + [atom], {}, None):
+        seen.add(bd[var])
+        if len(seen) > 1:
+            return True
+    return False
+
+
 def _head_rules(idx: Index, params: SimParams):
     """HeadsFetcher: variable heads + instantiated variants."""
     rules = []
@@ -444,7 +480,8 @@ def mine_reference_order(triples, params: SimParams | None = None):
                 counts = defaultdict(int)
                 for hb, ht in head_bindings:
                     found = set()
-                    for bd, used in idx.bindings(body, dict(hb), frozenset((ht,))):
+                    seed = frozenset((ht,)) if params.ndt else None
+                    for bd, used in idx.bindings(body, dict(hb), seed):
                         ub = bd.get(u) if u != dangling else None
                         vb = bd.get(v) if v != dangling else None
                         if ub is not None and vb is not None:
@@ -499,6 +536,10 @@ def mine_reference_order(triples, params: SimParams | None = None):
                     if support < min_sup:
                         continue
                     has_const = not (is_var(atom[0]) and is_var(atom[2]))
+                    if has_const and params.quasi and not _quasi_ok(
+                        idx, body, atom
+                    ):
+                        continue
                     if has_const:
                         # exact-duplicate instantiated atom in the rule —
                         # rulePredicates includes the HEAD atom, so a body

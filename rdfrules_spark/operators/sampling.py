@@ -48,6 +48,17 @@ def stratified_split(
     return left, right
 
 
+def graph_split(quads: DataFrame, train_g: str, test_g: str):
+    """Dataset.index(trainGraph, testGraph) by graph membership
+    (core:data/Dataset.scala:74-87 / index/TrainTestIndex): the train part
+    is every quad in ``train_g``, the test part every quad in ``test_g``;
+    both are plain partition-pruned filters on the graph column (no
+    shuffle). Returns (train, test) triple DataFrames."""
+    train = quads.where(F.col("g") == train_g).select("s", "p", "o")
+    test = quads.where(F.col("g") == test_g).select("s", "p", "o")
+    return train, test
+
+
 def bootstrap(df: DataFrame, key: str, copies: int = 3, salt: str = "boot") -> DataFrame:
     """Sampling with replacement (Sampleable.scala:54-97), deterministic:
     each row appears k times where k ~ its hash over `copies` slots —

@@ -360,6 +360,42 @@ def with_modes(
     return base.unionByName(mode_rows)
 
 
+def non_redundant_top_rules(
+    predictions: DataFrame,
+    rule_clusters: DataFrame,
+    k: int = -1,
+) -> DataFrame:
+    """NonRedundantTopRules aggregator (prediction/aggregator/
+    NonRedundantTopRules.scala:11-37): per predicted triple, keep only the
+    best rule (confidence-first ordering) of each rule CLUSTER
+    (Measure.Cluster from dbscan_clusters; rules without a cluster share
+    bucket -1), then the global top-k of those cluster maxima. Feed the
+    result to score_predictions for NonRedundantNoisyOr / -Maximum.
+
+    ``predictions``: predict_triples output; ``rule_clusters``: RULE_KEY +
+    ``cluster`` (ruleset.dbscan_clusters). Two partitioned windows — no
+    global shuffle beyond the (s,p,o) hash partitioning.
+    """
+    clusters = rule_clusters.select(*RULE_KEY, "cluster")
+    tagged = _null_safe_join(predictions, clusters, RULE_KEY, "left")
+    tagged = tagged.withColumn(
+        "cluster", F.coalesce(F.col("cluster"), F.lit("-1"))
+    )
+    rule_ord = [F.desc("conf")] + [F.asc_nulls_last(c) for c in RULE_KEY]
+    w_cluster = Window.partitionBy("s", "p", "o", "cluster").orderBy(*rule_ord)
+    best = tagged.withColumn(
+        "_cr", F.row_number().over(w_cluster)
+    ).where(F.col("_cr") == 1).drop("_cr")
+    if k < 0:
+        return best.drop("cluster")
+    w_triple = Window.partitionBy("s", "p", "o").orderBy(*rule_ord)
+    return (
+        best.withColumn("_tr", F.row_number().over(w_triple))
+        .where(F.col("_tr") <= k)
+        .drop("_tr", "cluster")
+    )
+
+
 def merged_triples(train: DataFrame, test: DataFrame) -> DataFrame:
     """Train+test merged view (core:index/MergedTripleIndex,
     TrainTestIndex): the union graph used for Qpca thresholds and

@@ -2004,3 +2004,235 @@ def q_mine_constants_l2_object(spark, sf_dir):
         F.array_join(F.array_sort("atoms"), ";").alias("body"),
         "support", "head_size", "head_coverage",
     )
+
+
+# --------------------------------------------------------------------------
+# Round-2 additions: graph split, rule instantiation, rule lattice,
+# NonRedundantTopRules aggregator, auto-discretization
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_split_sizes",
+    f"""
+    with t as ({_REL_TRIPLES_SQL})
+    select 'train' as part, count(*) as n from t where g = 'customer'
+    union all
+    select 'test', count(*) from t where g = 'orders'
+    """,
+)
+def q_graph_split_sizes(spark, sf_dir):
+    """Dataset.index(trainGraph, testGraph) by graph membership
+    (TrainTestIndex): partition-pruned filters, no shuffle."""
+    from rdfrules_spark.operators.sampling import graph_split
+
+    train, test = graph_split(rel_triples(spark, sf_dir), "customer", "orders")
+    a = train.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("train").alias("part"), "n"
+    )
+    b = test.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("test").alias("part"), "n"
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "instantiate_l2",
+    f"""
+    with {_MINE_BASE_SQL},
+    agg as (select t.p, b.q, b.d as d1, count(*) as support
+            from t join b on t.s = b.x and t.o = b.y
+            where (b.q <> t.p or b.d <> 'f')
+              and b.tid <> concat_ws('|', t.s, t.p, t.o)
+            group by t.p, b.q, b.d),
+    rules as (select agg.p, agg.q, agg.d1
+              from agg join heads on agg.p = heads.p
+              where agg.support >= 5
+                and agg.support / heads.head_size >= 0.1)
+    select r.p, 'l2' as shape, r.q, r.d1, b.x as va, b.y as vb
+    from rules r join b on b.q = r.q and b.d = r.d1
+    """,
+)
+def q_instantiate_l2(spark, sf_dir):
+    """InstantiatedRuleset (Ruleset.scala:222-224, Instantiation.scala:59-80):
+    every concrete variable binding of each mined L2 rule."""
+    from rdfrules_spark.mining.amie import MiningParams, head_sizes, mine_l2
+    from rdfrules_spark.ruleset import instantiate_rules
+
+    t = _kg_triples_df(spark, sf_dir)
+    params = MiningParams(**_L2_PARAMS)
+    rules = mine_l2(t, head_sizes(t, params), params)
+    inst = instantiate_rules(rules, t)
+    return inst.select("p", "shape", "q", "d1", "va", "vb")
+
+
+@register(
+    "rule_parents_l3",
+    f"""
+    with {_MINE_BASE_SQL},
+    m as (select t.p, t.s, t.o, b.q, b.d, b.tid
+          from t join b on t.s = b.x and t.o = b.y
+          where (b.q <> t.p or b.d <> 'f')
+            and b.tid <> concat_ws('|', t.s, t.p, t.o)),
+    l2agg as (select p, q, d as d1, count(*) as support
+              from m group by p, q, d),
+    l2 as (select l2agg.p, l2agg.q, l2agg.d1
+           from l2agg join heads on l2agg.p = heads.p
+           where support >= 2 and support / heads.head_size >= 0.05),
+    l3agg as (select m1.p, m1.q, m1.d as d1, m2.q as r, m2.d as d2,
+                     count(*) as support
+              from m m1 join m m2
+                on m1.s = m2.s and m1.o = m2.o and m1.p = m2.p
+              where (m1.q < m2.q or (m1.q = m2.q and m1.d < m2.d))
+                and m1.tid <> m2.tid
+              group by m1.p, m1.q, m1.d, m2.q, m2.d),
+    l3 as (select l3agg.p, l3agg.q, l3agg.d1, l3agg.r, l3agg.d2
+           from l3agg join heads on l3agg.p = heads.p
+           where support >= 2 and support / heads.head_size >= 0.05)
+    select distinct child_p, child_shape, child_q, child_d1, child_r,
+                    child_d2, parent_p, parent_shape, parent_q, parent_d1
+    from (
+      select c.p as child_p, 'l3v2' as child_shape, c.q as child_q,
+             c.d1 as child_d1, c.r as child_r, c.d2 as child_d2,
+             l2.p as parent_p, 'l2' as parent_shape, l2.q as parent_q,
+             l2.d1 as parent_d1
+      from l3 c join l2 on l2.p = c.p and l2.q = c.q and l2.d1 = c.d1
+      union all
+      select c.p, 'l3v2', c.q, c.d1, c.r, c.d2, l2.p, 'l2', l2.q, l2.d1
+      from l3 c join l2 on l2.p = c.p and l2.q = c.r and l2.d1 = c.d2
+    ) e
+    """,
+)
+def q_rule_parents_l3(spark, sf_dir):
+    """Rule lattice edges (ruleset/ops/Treeable.scala:14-60): each l3v2
+    rule's closed L2 sub-rules over the same head."""
+    from rdfrules_spark.mining.amie import MiningParams, mine
+    from rdfrules_spark.ruleset import rule_parents
+
+    t = _kg_triples_df(spark, sf_dir)
+    rules = mine(t, MiningParams(min_head_size=50, min_support=2,
+                                 min_head_coverage=0.05))
+    return rule_parents(rules)
+
+
+@register(
+    "non_redundant_top",
+    f"""
+    with {_L2_CONF_SQL},
+    cl as (select q, d1, substr(md5(q), 1, 1) as cluster
+           from (select distinct q, d1 from rconf)
+           where substr(md5(q), 1, 1) between '0' and '7'),
+    px as (select pr.p, pr.s, pr.o, pr.q, pr.d1, pr.conf,
+                  coalesce(cl.cluster, '-1') as cluster
+           from tagged pr left join cl on cl.q = pr.q and cl.d1 = pr.d1),
+    best as (select *, row_number() over (
+               partition by s, p, o, cluster
+               order by conf desc, p, q, d1) as cr from px),
+    topk as (select *, row_number() over (
+               partition by s, p, o
+               order by conf desc, p, q, d1) as tr
+             from best where cr = 1)
+    select s, p, o, q, d1, round(conf, 6) as conf
+    from topk where tr <= 2
+    """,
+)
+def q_non_redundant_top(spark, sf_dir):
+    """NonRedundantTopRules (prediction/aggregator/NonRedundantTopRules
+    .scala:11-37): per predicted triple keep the best rule per rule cluster,
+    then the global top-2. Clusters assigned deterministically (md5 bucket
+    of q, half the rules left unclustered to exercise the -1 bucket)."""
+    from rdfrules_spark.prediction import non_redundant_top_rules, predict_triples
+    from rdfrules_spark.ruleset import RULE_KEY
+
+    t, rules = _l2_rules_conf(spark, sf_dir)
+    preds = predict_triples(rules, t)
+    clusters = (
+        rules.select(*RULE_KEY).distinct()
+        .withColumn("cluster", F.substring(F.md5("q"), 1, 1))
+        .where(F.col("cluster").between("0", "7"))
+    )
+    best = non_redundant_top_rules(preds, clusters, k=2)
+    return best.select("s", "p", "o", "q", "d1",
+                       F.round("conf", 6).alias("conf"))
+
+
+@register(
+    "autodiscretize_intervals",
+    f"""
+    with recursive t as (select s, p, o from ({_REL_TRIPLES_SQL})),
+    inc as (select distinct s as e, p from t
+            union select distinct o, p from t),
+    nb as (select distinct a.p, b.p as q
+           from inc a join inc b using (e) where a.p <> b.p),
+    r1 as (select q from nb where p = 'c_acctbal_cents'),
+    r2 as (select distinct nb.q from nb join r1 on nb.p = r1.q),
+    reach as (select 'c_acctbal_cents' as p
+              union select q from r1 union select q from r2),
+    sizes as (select p, count(*) as n from t group by p),
+    qual as (select n from sizes join reach using (p) where n >= 50),
+    bounds as (select cast(ceil(0.1 * min(n)) as bigint) as lower_,
+                      cast(ceil(0.1 * max(n)) as bigint) as upper_
+               from qual),
+    vals as (select s, try_cast(o as double) as v from t
+             where p = 'c_acctbal_cents' and try_cast(o as double) is not null),
+    hist as (select v, count(*) as c from vals group by v),
+    cum as (select v, sum(c) over (order by v) as cum from hist),
+    tot as (select max(cum) as n from cum),
+    nodes(level, lo, hi, plo, phi) as (
+      select 0, cast(0 as bigint), n, cast(-1 as bigint), cast(-1 as bigint)
+      from tot
+      union all
+      select level + 1, lo + ((hi - lo) * j) // 2,
+             lo + ((hi - lo) * (j + 1)) // 2, lo, hi
+      from nodes, unnest([0, 1]) as u(j), bounds
+      where (hi - lo) // 2 >= lower_
+    ),
+    nv as (select level, lo, hi, plo, phi,
+                  (select min(v) from cum where cum > lo) as vlo,
+                  (select min(v) from cum where cum > hi - 1) as vhi
+           from nodes),
+    nd as (select c.*,
+                  (p.vlo is not null and c.vlo = p.vlo and c.vhi = p.vhi)
+                    as dropped
+           from nv c left join nv p on c.plo = p.lo and c.phi = p.hi
+                                   and c.level = p.level + 1),
+    cut as (select n.level, n.lo, n.hi,
+                   bool_and(k.hi - k.lo >= bounds.upper_) as cutoff
+            from nd n join nd k on k.plo = n.lo and k.phi = n.hi
+                               and k.level = n.level + 1
+                               and not k.dropped, bounds
+            group by n.level, n.lo, n.hi),
+    iv as (select n.level, n.lo, n.vlo, n.vhi from nd n
+           left join cut on cut.level = n.level and cut.lo = n.lo
+                        and cut.hi = n.hi
+           where n.level >= 1 and not n.dropped
+             and not coalesce(cut.cutoff, false)),
+    assigned as (select vals.s, vals.v, iv.level, iv.vlo, iv.vhi,
+                        row_number() over (
+                          partition by vals.s, vals.v, iv.level
+                          order by iv.lo) as rk
+                 from vals join iv
+                   on vals.v >= iv.vlo and vals.v <= iv.vhi)
+    select s, concat('c_acctbal_cents#discretized_level_', level) as p,
+           concat('[', cast(vlo as varchar), ';', cast(vhi as varchar), ')')
+             as o
+    from assigned where rk = 1
+    """,
+)
+def q_autodiscretize_intervals(spark, sf_dir):
+    """Auto-discretization of an indexed dataset (index/ops/
+    DiscretizationOps.scala:18-247): hop-bounded support bounds ->
+    EquisizeTree per numeric predicate -> interval quads per tree level."""
+    from rdfrules_spark.operators.autodiscretize import (
+        AutoDiscretizationTask,
+        auto_discretize,
+    )
+
+    t = rel_triples(spark, sf_dir).select("s", "p", "o")
+    return auto_discretize(
+        t,
+        AutoDiscretizationTask(
+            min_head_size=50, min_head_coverage=0.1, max_rule_length=3,
+            arity=2, predicates=["c_acctbal_cents"],
+        ),
+    )

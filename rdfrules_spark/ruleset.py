@@ -230,3 +230,82 @@ def find_similar(
     )
     order = F.asc("sim") if dissimilar else F.desc("sim")
     return sims.orderBy(order, "rid").limit(k)
+
+
+def instantiate_rules(rules: DataFrame, triples: DataFrame) -> DataFrame:
+    """InstantiatedRuleset (Ruleset.scala:222-224,
+    prediction/Instantiation.scala:59-80): expand every rule to its concrete
+    variable bindings. Output rows carry the rule key + the binding of each
+    variable (?a, ?b and — for the 3-variable shape — ?c; null otherwise).
+    One job per shape over the same body joins the miner uses."""
+    from rdfrules_spark.mining.amie import _b
+
+    b = _b(triples)
+    out = None
+    for shape in ("l2", "l3v2", "l3v3"):
+        shaped = rules.where(F.col("shape") == shape).select(*RULE_KEY)
+        if shape == "l2":
+            inst = shaped.join(
+                b.withColumnRenamed("q", "_q").withColumnRenamed("d", "_d"),
+                (F.col("q") == F.col("_q")) & (F.col("d1") == F.col("_d")),
+            ).select(
+                *RULE_KEY, F.col("x").alias("va"), F.col("y").alias("vb"),
+                F.lit(None).cast(dict(triples.dtypes)["s"]).alias("vc"),
+            )
+        elif shape == "l3v2":
+            b1 = b.select(F.col("x").alias("va"), F.col("y").alias("vb"),
+                          F.col("q").alias("_q1"), F.col("d").alias("_d1"))
+            b2 = b.select(F.col("x").alias("va"), F.col("y").alias("vb"),
+                          F.col("q").alias("_q2"), F.col("d").alias("_d2"))
+            inst = shaped.join(
+                b1, (F.col("q") == F.col("_q1")) & (F.col("d1") == F.col("_d1"))
+            ).join(b2, ["va", "vb"]).where(
+                (F.col("r") == F.col("_q2")) & (F.col("d2") == F.col("_d2"))
+            ).select(
+                *RULE_KEY, "va", "vb",
+                F.lit(None).cast(dict(triples.dtypes)["s"]).alias("vc"),
+            )
+        else:
+            b1 = b.select(F.col("x").alias("va"), F.col("y").alias("vc"),
+                          F.col("q").alias("_q1"), F.col("d").alias("_d1"))
+            b2 = b.select(F.col("x").alias("vb"), F.col("y").alias("vc"),
+                          F.col("q").alias("_q2"), F.col("d").alias("_d2"))
+            inst = shaped.join(
+                b1, (F.col("q") == F.col("_q1")) & (F.col("d1") == F.col("_d1"))
+            ).join(b2, "vc").where(
+                (F.col("r") == F.col("_q2")) & (F.col("d2") == F.col("_d2"))
+            ).select(*RULE_KEY, "va", "vb", "vc")
+        inst = inst.drop(*[c for c in inst.columns if c.startswith("_")])
+        out = inst if out is None else out.unionByName(inst)
+    return out
+
+
+def rule_parents(rules: DataFrame) -> DataFrame:
+    """Rule lattice edges (ruleset/ops/Treeable.scala:14-60): (child, parent)
+    where the parent is a CLOSED rule over the same head whose body atoms
+    are a subset of the child's. For the L<=3 schema the closed sub-rules
+    of an l3v2 rule are the two l2 rules over its atoms; l2 and l3v3 rules
+    have no closed proper sub-rule."""
+    l2 = rules.where(F.col("shape") == "l2").select(
+        F.col("p").alias("_pp"), F.col("q").alias("_pq"),
+        F.col("d1").alias("_pd"),
+    )
+    child = rules.where(F.col("shape") == "l3v2")
+    via_first = child.join(
+        l2,
+        (F.col("p") == F.col("_pp")) & (F.col("q") == F.col("_pq"))
+        & (F.col("d1") == F.col("_pd")),
+    )
+    via_second = child.join(
+        l2,
+        (F.col("p") == F.col("_pp")) & (F.col("r") == F.col("_pq"))
+        & (F.col("d2") == F.col("_pd")),
+    )
+    edges = via_first.unionByName(via_second).select(
+        *[F.col(c).alias("child_" + c) for c in RULE_KEY],
+        F.col("_pp").alias("parent_p"),
+        F.lit("l2").alias("parent_shape"),
+        F.col("_pq").alias("parent_q"),
+        F.col("_pd").alias("parent_d1"),
+    )
+    return edges.distinct()

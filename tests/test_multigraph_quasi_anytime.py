@@ -370,3 +370,33 @@ def test_recount_support_on_other_index(spark):
           for r in recount_support(rules, t2).collect()}
     assert re[("p", "q", "f")] == (10, 20)  # only 10 q-facts remain
     assert re[("q", "p", "f")][1] == 10     # q head size shrank
+
+
+def test_instantiate_and_rule_tree(spark):
+    from rdfrules_spark.ruleset import instantiate_rules, rule_parents
+
+    t = spark.createDataFrame(
+        [(f"e{i}", "p", f"e{(i + 1) % 15}") for i in range(15)]
+        + [(f"e{i}", "q", f"e{(i + 1) % 15}") for i in range(15)]
+        + [(f"e{i}", "rr", f"e{(i + 1) % 15}") for i in range(10)],
+        "s string, p string, o string",
+    )
+    rules = mine(t, MiningParams(min_head_size=8, min_support=1,
+                                 min_head_coverage=0.01)).cache()
+    inst = instantiate_rules(rules, t)
+    # l2 rule (?a p ?b) <- (?a q ?b): bindings = every q-fact
+    got = {
+        (r.va, r.vb)
+        for r in inst.where(
+            "p = 'p' and shape = 'l2' and q = 'q' and d1 = 'f'"
+        ).collect()
+    }
+    assert got == {(f"e{i}", f"e{(i + 1) % 15}") for i in range(15)}
+    # l3v2 rules have their two l2 sub-rules as tree parents
+    edges = rule_parents(rules).collect()
+    child = [e for e in edges if e.child_shape == "l3v2"]
+    if child:
+        e = child[0]
+        assert e.parent_shape == "l2"
+        assert e.parent_q in (e.child_q, e.child_r)
+    rules.unpersist()
