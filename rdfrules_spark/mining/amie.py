@@ -316,10 +316,50 @@ def mine(triples: DataFrame, params: MiningParams | None = None) -> DataFrame:
         for part in parts[1:]:
             rules = rules.unionByName(part)
         return rules
-    rules = mine_l2(triples, heads, params)
     if params.max_rule_length >= 3:
-        rules = rules.unionByName(mine_l3_2var(triples, heads, params))
+        # l2 and l3v2 both derive from the SAME head-joined atom relation
+        # m = head ⋈ B (l2 aggregates it, l3v2 self-joins it) — materialize
+        # m once instead of recomputing the 1M⋈2M join three times
+        h = _head_rel(triples, params, "x", "y")
+        m = (
+            h.join(_b(triples), ["x", "y"])
+            .where((F.col("q") != F.col("p")) | (F.col("d") != "f"))
+            .withColumn("tid", _btid())
+            .where(F.col("tid") != F.xxhash64(F.col("x"), F.col("p"), F.col("y")))
+            .select("x", "y", "p", "q", "d", "tid")
+            .localCheckpoint(eager=True)
+        )
+        p_type = dict(triples.dtypes)["p"]
+        agg2 = _scale_support(
+            m.groupBy("p", "q", F.col("d").alias("d1")).agg(
+                F.count(F.lit(1)).alias("support")
+            ),
+            params,
+        ).select(
+            "p", F.lit("l2").alias("shape"), "q", "d1",
+            F.lit(None).cast(p_type).alias("r"),
+            F.lit(None).cast("string").alias("d2"), "support",
+        )
+        rules = _finish(agg2, heads, params)
+        m1 = m.select("x", "y", "p", "q", F.col("d").alias("d1"),
+                      F.col("tid").alias("tid1"))
+        m2 = m.select("x", "y", "p", F.col("q").alias("r"),
+                      F.col("d").alias("d2"), F.col("tid").alias("tid2"))
+        pairs = m1.join(m2, ["x", "y", "p"]).where(
+            (F.col("q") < F.col("r"))
+            | ((F.col("q") == F.col("r")) & (F.col("d1") < F.col("d2")))
+        ).where(F.col("tid1") != F.col("tid2"))
+        agg3 = _scale_support(
+            pairs.groupBy("p", "q", "d1", "r", "d2").agg(
+                F.count(F.lit(1)).alias("support")
+            ),
+            params,
+        ).select("p", F.lit("l3v2").alias("shape"), "q", "d1", "r", "d2",
+                 "support")
+        rules = rules.unionByName(_finish(agg3, heads, params))
         rules = rules.unionByName(mine_l3_3var(triples, heads, params))
+    else:
+        rules = mine_l2(triples, heads, params)
     if params.top_k:
         # reference TopKRuleConsumer: k best by HC; ties beyond k overflow
         # (allowOverflowIfSameHeadCoverage) — keep all rules with HC >= kth
