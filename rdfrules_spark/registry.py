@@ -2236,3 +2236,48 @@ def q_autodiscretize_intervals(spark, sf_dir):
             arity=2, predicates=["c_acctbal_cents"],
         ),
     )
+
+
+@register(
+    "sql_dump_triples",
+    """
+    select concat('nation/n_nationkey/', n_nationkey) as s,
+           'n_name' as p, n_name as o from nation
+    union all
+    select concat('nation/n_nationkey/', n_nationkey), 'n_regionkey',
+           concat('region/r_regionkey/', n_regionkey) from nation
+    """,
+)
+def q_sql_dump_triples(spark, sf_dir):
+    """SQL-dump reader (data/formats/Sql.scala:134-166): a deterministic
+    mysqldump-style dump of the nation table (PK n_nationkey, FK
+    n_regionkey -> region.r_regionkey) is written to a temp file, parsed
+    back distributed, and must reproduce the relational unpivot."""
+    import os
+    import tempfile
+
+    from rdfrules_spark.sources.formats import read_sql_dump
+
+    rows = sorted(
+        (r["n_nationkey"], r["n_name"], r["n_regionkey"])
+        for r in _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey").collect()
+    )
+    dump = [
+        "CREATE TABLE nation (\n"
+        "  n_nationkey INT PRIMARY KEY,\n"
+        "  n_name VARCHAR(32),\n"
+        "  n_regionkey INT,\n"
+        "  FOREIGN KEY (n_regionkey) REFERENCES region (r_regionkey)\n"
+        ");"
+    ]
+    vals = ", ".join(
+        "({}, '{}', {})".format(k, n.replace("'", "''"), g)
+        for k, n, g in rows
+    )
+    dump.append(f"INSERT INTO nation VALUES {vals};")
+    d = tempfile.mkdtemp(prefix="sqldump_")
+    path = os.path.join(d, "nation.sql")
+    with open(path, "w") as f:
+        f.write("\n".join(dump))
+    return read_sql_dump(spark, path).select("s", "p", "o")

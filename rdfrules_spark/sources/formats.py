@@ -522,7 +522,13 @@ def _row_triples(table: str, cols, values):
 
 
 def _parse_inserts(text: str, meta: dict):
-    for m in _INSERT_RE.finditer(text):
+    # statements split on top-level ';' first (quote/paren-aware) — a
+    # greedy DOTALL match across statements would swallow the rest of the
+    # chunk into the first INSERT's VALUES part
+    for stmt in _split_top(text, ";"):
+        m = _INSERT_RE.search(stmt)
+        if not m:
+            continue
         table = m.group(1)
         if table not in meta:
             continue

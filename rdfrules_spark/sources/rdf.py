@@ -226,18 +226,30 @@ def read_ttl(
 
 def read_rdf(spark: SparkSession, path: str, **kw) -> DataFrame:
     """Extension dispatch (core:data/RdfSource.scala:52-67): nt, nq, ttl,
-    tsv (+ .gz/.bz2). Unknown extensions raise."""
+    json/jsonld, xml/rdf/owl, trig, trix, sql, tsv (+ .gz/.bz2 via Spark
+    codecs). Unknown extensions raise — same contract as the reference."""
+    from rdfrules_spark.sources import formats
     from rdfrules_spark.sources.tsv import read_tsv
 
     base = re.sub(r"\.(gz|bz2)$", "", path.lower())
-    if base.endswith(".nt"):
+    ext = base.rsplit(".", 1)[-1]
+    if ext == "nt":
         return read_nt(spark, path)
-    if base.endswith(".nq"):
-        df = read_nq(spark, path, **kw)
-        return df
-    if base.endswith(".ttl"):
+    if ext == "nq":
+        return read_nq(spark, path)
+    if ext == "ttl":
         return read_ttl(spark, path, **kw)
-    if base.endswith(".tsv"):
+    if ext in ("json", "jsonld"):
+        return formats.read_jsonld(spark, path)
+    if ext in ("xml", "rdf", "owl"):
+        return formats.read_rdfxml(spark, path)
+    if ext == "trig":
+        return formats.read_trig(spark, path)
+    if ext == "trix":
+        return formats.read_trix(spark, path)
+    if ext == "sql":
+        return formats.read_sql_dump(spark, path, **kw)
+    if ext == "tsv":
         return read_tsv(spark, path)
     raise ValueError(f"unsupported RDF extension: {path}")
 
