@@ -69,6 +69,10 @@ class SimParams:
     #: distinct-triple support counting (no binding maps two atoms of the
     #: rule, head included, to one KG triple). Diagnostic switch.
     ndt: bool = True
+    #: when ndt: seed the used-triple set with the bound HEAD triple (body
+    #: atoms may not rebind it). Diagnostic switch for the 51,143 residual —
+    #: False = body atoms pairwise distinct only.
+    ndt_head: bool = True
     #: faithful QuasiBindingFilter (RuleFilter.scala:334-343): a NEW atom
     #: containing a constant must admit >= 2 distinct bindings of its
     #: variable over (parent body + new atom), head EXCLUDED, counted with
@@ -480,7 +484,12 @@ def mine_reference_order(triples, params: SimParams | None = None):
                 counts = defaultdict(int)
                 for hb, ht in head_bindings:
                     found = set()
-                    seed = frozenset((ht,)) if params.ndt else None
+                    if not params.ndt:
+                        seed = None
+                    elif params.ndt_head:
+                        seed = frozenset((ht,))
+                    else:
+                        seed = frozenset()
                     for bd, used in idx.bindings(body, dict(hb), seed):
                         ub = bd.get(u) if u != dangling else None
                         vb = bd.get(v) if v != dangling else None

@@ -40,7 +40,17 @@ def run_pipeline(
         candidates = linking.alias_candidates(spark, n_entities)
 
     statements = extraction.extract_statements(documents)
-    linked = linking.link_statements(statements, candidates)
+    # materialize the linked statements ONCE: the CC stage consumes them
+    # three times (node seed, symmetric edge set, final rewrite join) and a
+    # lazy plan would replay the extraction pandas UDF + link join per
+    # consumer — a serial re-execution that caps scaling efficiency (the
+    # N-vs-4N criterion) well below 0.8. One barrier here buys
+    # single-execution lineage for every downstream stage; the durable
+    # variant (checkpointing.run_pipeline_checkpointed) persists the same
+    # cut to parquet with a manifest.
+    linked = linking.link_statements(statements, candidates).localCheckpoint(
+        eager=True
+    )
     rels, sameas = linking.split_sameas(linked)
     canon_rels, canon_map = canonicalize_triples(rels, sameas)
     canon_rels = canon_rels.select("doc_id", "s", "p", "o")

@@ -38,6 +38,8 @@ VARIANTS = {
     "A": dict(ndt=False, quasi=True),
     "B": dict(ndt=True, quasi=False),
     "C": dict(ndt=True, quasi=True),
+    # D: body atoms pairwise distinct, head triple NOT excluded
+    "D": dict(ndt=True, ndt_head=False, quasi=False),
 }
 
 if __name__ == "__main__":
