@@ -73,6 +73,11 @@ class SimParams:
     #: atoms may not rebind it). Diagnostic switch for the 51,143 residual —
     #: False = body atoms pairwise distinct only.
     ndt_head: bool = True
+    #: further residual diagnostics ('B' = status quo): 'E' = the head
+    #: triple is forbidden only for the FRESH atom (earlier body atoms may
+    #: rebind it); 'F' = forbidden only for earlier body atoms (the fresh
+    #: atom may rebind it).
+    ndt_variant: str = "B"
     #: faithful QuasiBindingFilter (RuleFilter.scala:334-343): a NEW atom
     #: containing a constant must admit >= 2 distinct bindings of its
     #: variable over (parent body + new atom), head EXCLUDED, counted with
@@ -486,11 +491,17 @@ def mine_reference_order(triples, params: SimParams | None = None):
                     found = set()
                     if not params.ndt:
                         seed = None
-                    elif params.ndt_head:
-                        seed = frozenset((ht,))
-                    else:
+                    elif params.ndt_variant == "E" or not params.ndt_head:
                         seed = frozenset()
-                    for bd, used in idx.bindings(body, dict(hb), seed):
+                    else:
+                        seed = frozenset((ht,))
+                    for bd, body_used in idx.bindings(body, dict(hb), seed):
+                        if params.ndt_variant == "E":
+                            used = body_used | {ht}
+                        elif params.ndt_variant == "F":
+                            used = body_used - {ht}
+                        else:
+                            used = body_used
                         ub = bd.get(u) if u != dangling else None
                         vb = bd.get(v) if v != dangling else None
                         if ub is not None and vb is not None:

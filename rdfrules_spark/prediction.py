@@ -403,3 +403,36 @@ def merged_triples(train: DataFrame, test: DataFrame) -> DataFrame:
     return train.select("s", "p", "o").unionByName(
         test.select("s", "p", "o")
     ).distinct()
+
+def prediction_task_stats(ranked_tasks: DataFrame) -> DataFrame:
+    """One-row task/candidate statistics (eval/StatsBuilder.scala counts
+    tasks; EvaluationResult.Stats): number of tasks, total ranked
+    candidates, distinct head predicates, and mean candidates per task."""
+    per_task = ranked_tasks.groupBy(
+        "p", "predict_side", "fixed_entity"
+    ).agg(F.count(F.lit(1)).alias("n_cand"))
+    return per_task.agg(
+        F.count(F.lit(1)).alias("n_tasks"),
+        F.sum("n_cand").alias("n_candidates"),
+        F.countDistinct("p").alias("n_predicates"),
+        F.round(F.avg("n_cand"), 6).alias("avg_candidates"),
+    )
+
+
+def tasks_to_dataset(ranked_tasks: DataFrame) -> DataFrame:
+    """Ranked prediction tasks -> distinct candidate triples
+    (http:task/predictionTasks/ToDataset.scala: each task row back to
+    (s,p,o) with the candidate on the predicted side)."""
+    return ranked_tasks.select(
+        F.when(F.col("predict_side") == "subject", F.col("candidate"))
+        .otherwise(F.col("fixed_entity")).alias("s"),
+        "p",
+        F.when(F.col("predict_side") == "subject", F.col("fixed_entity"))
+        .otherwise(F.col("candidate")).alias("o"),
+    ).distinct()
+
+
+def predictions_to_dataset(predicted: DataFrame) -> DataFrame:
+    """Predicted triples -> plain distinct dataset rows
+    (http:task/prediction/ToDataset.scala)."""
+    return predicted.select("s", "p", "o").distinct()

@@ -2281,3 +2281,194 @@ def q_sql_dump_triples(spark, sf_dir):
     with open(path, "w") as f:
         f.write("\n".join(dump))
     return read_sql_dump(spark, path).select("s", "p", "o")
+
+
+# --------------------------------------------------------------------------
+# Scalar-function surface (SURVEY §2.10: URI explode, interval literals)
+# and prediction stats/conversions (SURVEY §2.9 tail)
+# --------------------------------------------------------------------------
+
+@register(
+    "uri_explode_parts",
+    """
+    with u as (
+      select concat('http://tpch.example.org/customer/',
+                    cast(c_custkey as varchar)) as uri from customer
+      union all
+      select concat('http://tpch.example.org/nation#', n_name) from nation
+      union all
+      select r_name from region
+    ),
+    e as (select regexp_extract(uri, '^(.+[/#])(.+)$', 1) as name_space,
+                 case when regexp_extract(uri, '^(.+[/#])(.+)$', 2) = ''
+                      then uri
+                      else regexp_extract(uri, '^(.+[/#])(.+)$', 2)
+                 end as local_name
+          from u)
+    select name_space, count(*) as n, count(distinct local_name) as n_local
+    from e group by name_space
+    """,
+)
+def q_uri_explode_parts(spark, sf_dir):
+    """URI namespace/localName split on the last '/' or '#'
+    (core:data/TripleItem.scala:53-65 explode; '' namespace fallback)."""
+    from rdfrules_spark.functions.scalar import uri_explode
+
+    u = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.concat(
+                F.lit("http://tpch.example.org/customer/"),
+                F.col("c_custkey").cast("string"),
+            ).alias("uri")
+        )
+        .unionByName(
+            _t(spark, sf_dir, "nation").select(
+                F.concat(
+                    F.lit("http://tpch.example.org/nation#"), F.col("n_name")
+                ).alias("uri")
+            )
+        )
+        .unionByName(
+            _t(spark, sf_dir, "region").select(F.col("r_name").alias("uri"))
+        )
+    )
+    e = u.select(uri_explode("uri").alias("x")).select("x.*")
+    return e.groupBy("name_space").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("local_name").alias("n_local"),
+    )
+
+
+_IVL_SQL_RE = r"^(\[|\()\s*(.+?)\s*;\s*(.+?)\s*(\]|\))$"
+
+
+@register(
+    "interval_membership",
+    f"""
+    with iv as (
+      select concat(case when o_orderkey % 2 = 0 then '[' else '(' end,
+                    cast(o_orderkey % 7 as varchar), ';',
+                    cast(o_orderkey % 7 + 5 as varchar),
+                    case when o_orderkey % 3 = 0 then ']' else ')' end) as txt,
+             cast(o_custkey % 12 as double) as v
+      from orders
+      union all select 'not-an-interval', 1.0 from region
+    ),
+    p as (select txt, v,
+                 regexp_extract(txt, '{_IVL_SQL_RE}', 1) = '[' as l_incl,
+                 try_cast(regexp_extract(txt, '{_IVL_SQL_RE}', 2) as double)
+                   as lv,
+                 try_cast(regexp_extract(txt, '{_IVL_SQL_RE}', 3) as double)
+                   as rv,
+                 regexp_extract(txt, '{_IVL_SQL_RE}', 4) = ']' as r_incl,
+                 regexp_extract(txt, '{_IVL_SQL_RE}', 1) <> '' as ok
+          from iv)
+    select case when not ok or lv is null or rv is null then 'invalid'
+                when (case when l_incl then v >= lv else v > lv end)
+                 and (case when r_incl then v <= rv else v < rv end)
+                then 'in' else 'out' end as membership,
+           count(*) as n
+    from p group by 1
+    """,
+)
+def q_interval_membership(spark, sf_dir):
+    """Interval literal parse + membership (TripleItem.scala:147-183):
+    synthetic '[a;b)' literals over orders, bucketed in/out/invalid."""
+    from rdfrules_spark.functions.scalar import interval_contains, parse_interval
+
+    iv = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.concat(
+                F.when(F.col("o_orderkey") % 2 == 0, F.lit("[")).otherwise(
+                    F.lit("(")
+                ),
+                (F.col("o_orderkey") % 7).cast("string"),
+                F.lit(";"),
+                (F.col("o_orderkey") % 7 + 5).cast("string"),
+                F.when(F.col("o_orderkey") % 3 == 0, F.lit("]")).otherwise(
+                    F.lit(")")
+                ),
+            ).alias("txt"),
+            (F.col("o_custkey") % 12).cast("double").alias("v"),
+        )
+        .unionByName(
+            _t(spark, sf_dir, "region").select(
+                F.lit("not-an-interval").alias("txt"), F.lit(1.0).alias("v")
+            )
+        )
+    )
+    parsed = iv.select(parse_interval("txt").alias("ivl"), "v")
+    member = interval_contains(F.col("ivl"), "v")
+    return (
+        parsed.select(
+            F.when(F.col("ivl").isNull(), "invalid")
+            .when(member, "in")
+            .otherwise("out")
+            .alias("membership")
+        )
+        .groupBy("membership")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "prediction_task_stats",
+    f"""
+    with {_L2_CONF_SQL},
+    scored as (select p, s, o, max(conf) as max_score
+               from preds group by 1, 2, 3),
+    pside as (select p, case when count(distinct s) < count(distinct o)
+                             then 'subject' else 'object' end as predict_side
+              from t group by p),
+    tasks as (select sc.p, sd.predict_side,
+                     case when sd.predict_side = 'subject' then sc.o
+                          else sc.s end as fixed_entity,
+                     case when sd.predict_side = 'subject' then sc.s
+                          else sc.o end as candidate,
+                     sc.max_score as score
+              from scored sc join pside sd on sd.p = sc.p),
+    ranked as (select *, row_number() over (
+                 partition by p, predict_side, fixed_entity
+                 order by score desc, candidate asc) as rank
+               from tasks),
+    topk as (select * from ranked where rank <= 10),
+    per_task as (select p, predict_side, fixed_entity, count(*) as n_cand
+                 from topk group by 1, 2, 3),
+    ds as (select count(*) as n_distinct_triples from (
+             select distinct
+               case when predict_side = 'subject' then candidate
+                    else fixed_entity end as s,
+               p,
+               case when predict_side = 'subject' then fixed_entity
+                    else candidate end as o
+             from topk))
+    select (select count(*) from per_task) as n_tasks,
+           (select sum(n_cand) from per_task) as n_candidates,
+           (select count(distinct p) from per_task) as n_predicates,
+           (select round(avg(n_cand), 6) from per_task) as avg_candidates,
+           n_distinct_triples
+    from ds
+    """,
+)
+def q_prediction_task_stats(spark, sf_dir):
+    """Prediction-task stats (eval/StatsBuilder.scala; EvaluationResult.
+    Stats) + the ToDataset conversion cardinality
+    (http:task/predictionTasks/ToDataset.scala)."""
+    from rdfrules_spark.prediction import (
+        predict_triples,
+        prediction_task_stats,
+        prediction_tasks,
+        score_predictions,
+        tasks_to_dataset,
+    )
+
+    t, rules = _l2_rules_conf(spark, sf_dir)
+    scored = score_predictions(predict_triples(rules, t))
+    ranked = prediction_tasks(scored, t, top_k=10, score_col="max_score")
+    stats = prediction_task_stats(ranked)
+    n_ds = tasks_to_dataset(ranked).agg(
+        F.count(F.lit(1)).alias("n_distinct_triples")
+    )
+    return stats.crossJoin(n_ds)

@@ -97,7 +97,7 @@ def test_read_rdf_dispatch(spark, tmp_path):
     f.write_text(NT)
     assert read_rdf(spark, str(f)).count() == 4
     with pytest.raises(ValueError):
-        read_rdf(spark, "file.owl")
+        read_rdf(spark, "file.unknown-ext")
 
 
 @pytest.fixture(scope="module")

@@ -40,6 +40,10 @@ VARIANTS = {
     "C": dict(ndt=True, quasi=True),
     # D: body atoms pairwise distinct, head triple NOT excluded
     "D": dict(ndt=True, ndt_head=False, quasi=False),
+    # E: head triple forbidden ONLY for the fresh atom
+    "E": dict(ndt=True, ndt_variant="E", quasi=False),
+    # F: head triple forbidden ONLY for earlier body atoms
+    "F": dict(ndt=True, ndt_variant="F", quasi=False),
 }
 
 if __name__ == "__main__":
