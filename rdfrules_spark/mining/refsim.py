@@ -76,7 +76,8 @@ class SimParams:
     #: further residual diagnostics ('B' = status quo): 'E' = the head
     #: triple is forbidden only for the FRESH atom (earlier body atoms may
     #: rebind it); 'F' = forbidden only for earlier body atoms (the fresh
-    #: atom may rebind it).
+    #: atom may rebind it); 'G' = the head triple is forbidden for EVERY
+    #: atom (body + fresh) but body atoms may collide with each other.
     ndt_variant: str = "B"
     #: faithful QuasiBindingFilter (RuleFilter.scala:334-343): a NEW atom
     #: containing a constant must admit >= 2 distinct bindings of its
@@ -174,7 +175,8 @@ class Index:
         ns, no = len(self.po[p]), len(self.ps[p])
         return "object" if ns >= no else "subject"
 
-    def bindings(self, atoms, binding, used: frozenset | None = frozenset()):
+    def bindings(self, atoms, binding, used: frozenset | None = frozenset(),
+                 accumulate: bool = True):
         """Generator of (binding, used_triples) for the atom list (constant
         items fixed). DISTINCT-TRIPLE semantics: no atom may bind a triple
         in ``used`` (seed with the head triple), and no two atoms may bind
@@ -221,7 +223,9 @@ class Index:
                 b2[s] = ss
             if is_var(o):
                 b2[o] = oo
-            yield from self.bindings(rest, b2, used | {t})
+            yield from self.bindings(
+                rest, b2, used | {t} if accumulate else used, accumulate
+            )
 
         if sb is not None and ob is not None:
             if ob in self.po[p].get(sb, ()):
@@ -495,7 +499,10 @@ def mine_reference_order(triples, params: SimParams | None = None):
                         seed = frozenset()
                     else:
                         seed = frozenset((ht,))
-                    for bd, body_used in idx.bindings(body, dict(hb), seed):
+                    acc = params.ndt_variant != "G"
+                    for bd, body_used in idx.bindings(
+                        body, dict(hb), seed, acc
+                    ):
                         if params.ndt_variant == "E":
                             used = body_used | {ht}
                         elif params.ndt_variant == "F":

@@ -72,25 +72,75 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
 def deterministic_centroids(vectors: DataFrame, n: int,
                             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """First n vectors by id as centroids — deterministic, oracle-friendly
-    (real deployments would run k-means; centroid choice only affects
-    recall, not the operator contract)."""
+    (centroid choice only affects recall, not the operator contract).
+    ``kmeans_centroids`` refines these with real Lloyd iterations."""
     return (
         vectors.orderBy(id_col).limit(n)
         .select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
     )
 
 
+def kmeans_centroids(vectors: DataFrame, n: int, iters: int = 2,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Lloyd k-means with deterministic first-n init, fully DataFrame-side.
+
+    Each iteration is two scale-out shapes: the assignment is a
+    broadcast-centroid argmax join (one pass over the big side), the update
+    is posexplode -> per-(bucket, dimension) avg (map-side combined
+    aggregation). No vectors ever reach the driver. Similarity is cosine
+    (unit-sphere Lloyd analog), argmax ties go to the lower centroid id;
+    a cluster that receives no vectors keeps its previous centroid.
+
+    iters is small and fixed (deterministic, oracle-replicable by
+    unrolling); each round checkpoints the tiny centroid table so the plan
+    does not grow with iterations."""
+    cents = deterministic_centroids(vectors, n, id_col, vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(vectors, F.broadcast(cents), id_col, vec_col)
+        upd = (
+            assigned.select(
+                "bucket", F.posexplode(vec_col).alias("dim", "val")
+            )
+            .groupBy("bucket", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("bucket")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda x: x["m"],
+                ).alias("new_vec")
+            )
+        )
+        cents = (
+            cents.join(upd, cents["c_id"] == upd["bucket"], "left")
+            .select(
+                F.col("c_id"),
+                F.coalesce("new_vec", "c_vec").alias("c_vec"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def ivf_topk(
     vectors: DataFrame, queries: DataFrame, k: int = 10, n_centroids: int = 16,
     nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
     q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k: probe only the nprobe nearest centroid buckets per query.
 
     At scale the assignment is precomputed/bucket-partitioned storage; the
     query-side join hits only matching buckets (partition pruning).
+    ``centroids`` overrides the first-n default (pass kmeans_centroids(...)
+    for the trained-codebook variant).
     """
-    cents = deterministic_centroids(vectors, n_centroids, id_col, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else deterministic_centroids(vectors, n_centroids, id_col, vec_col)
+    )
     assigned = ivf_assign(vectors, cents, id_col, vec_col)
     qj = queries.crossJoin(F.broadcast(cents))
     qsim = _dot(F.col(q_vec_col), F.col("c_vec")) / (

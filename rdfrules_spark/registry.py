@@ -2472,3 +2472,95 @@ def q_prediction_task_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_distinct_triples")
     )
     return stats.crossJoin(n_ds)
+
+
+# --------------------------------------------------------------------------
+# IVF with a trained k-means codebook (similarity-search scale path)
+# --------------------------------------------------------------------------
+
+def _km_assign_sql(out: str, cents: str) -> str:
+    """Argmax-cosine assignment of v to centroid table `cents` (ties to the
+    lower c_id) — one Lloyd half-step, mirrors similarity.ivf_assign."""
+    d = _dot_sql("ve", "cv")
+    n = f"({_norm_sql('ve')} * {_norm_sql('cv')})"
+    return f"""
+    {out} as (
+      select vec_id, ve, c_id as bucket from (
+        select v.vec_id, v.ve, c.c_id,
+               row_number() over (partition by v.vec_id
+                                  order by {d} / {n} desc, c.c_id) as r
+        from v, {cents} c) where r = 1)"""
+
+
+def _km_update_sql(out: str, assigned: str, prev: str) -> str:
+    """Per-(bucket, dimension) mean -> new centroid list; empty clusters
+    keep the previous centroid — one Lloyd half-step, mirrors
+    similarity.kmeans_centroids."""
+    return f"""
+    {out}_m as (
+      select bucket, d.i as dim, avg(ve[d.i]) as mval
+      from {assigned}, (select unnest(generate_series(1, 64)) as i) d
+      group by 1, 2),
+    {out}_u as (
+      select bucket, list(mval order by dim) as nv from {out}_m group by 1),
+    {out} as (
+      select {prev}.c_id, coalesce({out}_u.nv, {prev}.cv) as cv
+      from {prev} left join {out}_u on {prev}.c_id = {out}_u.bucket)"""
+
+
+_KM_FINAL_DOT = _dot_sql("a.ve", "p.qv")
+_KM_FINAL_NORM = f"({_norm_sql('a.ve')} * {_norm_sql('p.qv')})"
+_KM_Q_DOT = _dot_sql("qv", "cv")
+_KM_Q_NORM = f"({_norm_sql('qv')} * {_norm_sql('cv')})"
+
+
+@register(
+    "ivf_kmeans_topk",
+    f"""
+    with v as (select vec_id, {_VD} as ve from embeddings),
+    c0 as (select vec_id as c_id, ve as cv from v order by vec_id limit 16),
+    {_km_assign_sql('ka1', 'c0')},
+    {_km_update_sql('c1', 'ka1', 'c0')},
+    {_km_assign_sql('ka2', 'c1')},
+    {_km_update_sql('c2', 'ka2', 'c1')},
+    {_km_assign_sql('assigned', 'c2')},
+    q as (select vec_id as q_id, ve as qv from v order by vec_id limit 5),
+    probes as (
+      select q_id, qv, c_id as bucket from (
+        select q.q_id, q.qv, c.c_id,
+               row_number() over (partition by q.q_id
+                                  order by {_KM_Q_DOT} / {_KM_Q_NORM} desc,
+                                           c.c_id) as r
+        from q, c2 c) where r <= 4),
+    scored as (
+      select p.q_id, a.vec_id,
+             {_KM_FINAL_DOT} / {_KM_FINAL_NORM} as cosine
+      from assigned a join probes p on a.bucket = p.bucket),
+    r as (select q_id, vec_id, cosine,
+                 row_number() over (partition by q_id
+                                    order by cosine desc, vec_id) as rank
+          from scored)
+    select q_id, vec_id, rank, round(cosine, 6) as cosine
+    from r where rank <= 10
+    """,
+)
+def q_ivf_kmeans_topk(spark, sf_dir):
+    """IVF top-k with a TRAINED codebook: 2 deterministic Lloyd iterations
+    (first-16 init) refine the centroids before bucketing/probing. The
+    oracle unrolls both iterations as CTEs with identical tie-breaks."""
+    from rdfrules_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = kmeans_centroids(emb, 16, iters=2)
+    qs = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    out = ivf_topk(emb, qs, k=10, nprobe=4, centroids=cents)
+    return out.select(
+        "q_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
+    )

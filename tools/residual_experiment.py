@@ -44,6 +44,8 @@ VARIANTS = {
     "E": dict(ndt=True, ndt_variant="E", quasi=False),
     # F: head triple forbidden ONLY for earlier body atoms
     "F": dict(ndt=True, ndt_variant="F", quasi=False),
+    # G: head triple forbidden for EVERY atom, body-body collisions allowed
+    "G": dict(ndt=True, ndt_variant="G", quasi=False),
 }
 
 if __name__ == "__main__":
