@@ -329,14 +329,6 @@ def mine(triples: DataFrame, params: MiningParams | None = None) -> DataFrame:
             .select("x", "y", "p", "q", "d", "tid")
             .localCheckpoint(eager=True)
         )
-        # m is materialized, so its cardinality is one cheap count; the
-        # l3v2 self-join below is all fixed overhead when m is small (the
-        # usual case: m = head-pair-matched atoms only) — broadcast one
-        # side then (measured 6.6s -> 1.5s at the 1M-triple flagship).
-        # Past the guard the join falls back to a shuffle join, which is
-        # the right plan when m is huge (100 TB posture: never broadcast
-        # unbounded relations).
-        m_small = m.count() <= 5_000_000
         p_type = dict(triples.dtypes)["p"]
         agg2 = _scale_support(
             m.groupBy("p", "q", F.col("d").alias("d1")).agg(
@@ -353,9 +345,7 @@ def mine(triples: DataFrame, params: MiningParams | None = None) -> DataFrame:
                       F.col("tid").alias("tid1"))
         m2 = m.select("x", "y", "p", F.col("q").alias("r"),
                       F.col("d").alias("d2"), F.col("tid").alias("tid2"))
-        pairs = m1.join(
-            F.broadcast(m2) if m_small else m2, ["x", "y", "p"]
-        ).where(
+        pairs = m1.join(m2, ["x", "y", "p"]).where(
             (F.col("q") < F.col("r"))
             | ((F.col("q") == F.col("r")) & (F.col("d1") < F.col("d2")))
         ).where(F.col("tid1") != F.col("tid2"))
