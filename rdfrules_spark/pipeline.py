@@ -48,8 +48,16 @@ def run_pipeline(
     # single-execution lineage for every downstream stage; the durable
     # variant (checkpointing.run_pipeline_checkpointed) persists the same
     # cut to parquet with a manifest.
-    linked = linking.link_statements(statements, candidates).localCheckpoint(
-        eager=True
+    # Repartition to the session parallelism before the cut: the link
+    # join's output partitioning (a broadcast join inherits it from
+    # upstream, AQE may have coalesced it) is frozen by the checkpoint and
+    # every downstream first stage is capped at that width — measured 8
+    # partitions / 1.56M rows at local[32], which flattened the N-vs-4N
+    # speedup to ~1x. Hash by doc_id so per-doc locality survives.
+    linked = (
+        linking.link_statements(statements, candidates)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .localCheckpoint(eager=True)
     )
     rels, sameas = linking.split_sameas(linked)
     canon_rels, canon_map = canonicalize_triples(rels, sameas)
