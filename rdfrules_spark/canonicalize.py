@@ -23,16 +23,63 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_union_find(pairs) -> list[tuple[str, str]]:
+    """Union-find with path compression over collected (src, dst) pairs;
+    -> [(node, component_min)] — identical semantics to the distributed
+    min-label propagation (component representative = lexicographic min)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in pairs:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+    comp_min: dict[str, str] = {}
+    nodes = set(parent)
+    for s, d in pairs:
+        nodes.add(s)
+        nodes.add(d)
+    roots = {n: find(n) for n in nodes}
+    for n, r in roots.items():
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    return [(n, comp_min[r]) for n, r in roots.items()]
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
     a: str = "a",
     b: str = "b",
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """-> canon_map(node, canon) for every node that appears in ``edges``.
 
     Nodes in singleton components (no edges) are absent: callers coalesce.
-    """
+
+    Adaptive: a sameAs graph of <= ``driver_threshold`` edges (one count
+    over the — usually already materialized — input) is solved with exact
+    union-find on the driver in one job: the iterative distributed rounds
+    cost 4-5 job barriers EACH, pure serial latency that dominated the
+    pipeline's scaling profile while the edge set was a few 100k rows
+    (~1-2%% of statements). Past the gate (the 100 TB posture: billions of
+    owl:sameAs links) the distributed min-label-propagation loop below
+    runs unchanged. Same adaptivity argument as AQE's runtime re-planning;
+    both paths produce the identical (node, component-min) map."""
+    edges2 = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    if driver_threshold > 0 and edges2.count() <= driver_threshold:
+        spark = edges.sparkSession
+        out = _driver_union_find(
+            [(r[0], r[1]) for r in edges2.collect()]
+        )
+        return spark.createDataFrame(out, "node string, canon string")
     sym = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionAll(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))

@@ -157,7 +157,12 @@ def synth_documents(
     """Distributed deterministic corpus: same (seed, n_docs) → same table."""
     n_ent = n_entities or n_entities_for(n_docs)
     if partitions is None:
-        partitions = max(1, min(64, n_docs // 250 or 1))
+        # ~1k docs per task: small enough that a stage is many waves deep
+        # at any local[N] (64 partitions = exactly 2 waves at 32 threads,
+        # and per-task skew in the Python generation left most threads
+        # idle in the last wave — measured local[32] SLOWER than local[8]
+        # at 960k docs), large enough that Arrow batching stays efficient.
+        partitions = max(1, min(512, n_docs // 1000 or 1))
 
     def gen_batches(batches):
         ent_cdf = _zipf_cdf(n_ent)

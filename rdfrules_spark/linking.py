@@ -83,9 +83,18 @@ def build_link_map(statements: DataFrame, candidates: DataFrame) -> DataFrame:
     )
 
 
-def link_statements(statements: DataFrame, candidates: DataFrame) -> DataFrame:
-    """-> linked(doc_id, stmt_no, s, p, o) with s/o as entity IRIs."""
+def link_statements(
+    statements: DataFrame, candidates: DataFrame, materialize_map: bool = True
+) -> DataFrame:
+    """-> linked(doc_id, stmt_no, s, p, o) with s/o as entity IRIs.
+
+    ``materialize_map``: the link map feeds TWO joins (s-side and o-side);
+    lazily each broadcast build would recompute the 2x-surface distinct +
+    groupBy from scratch — one eager cut halves the map-build work. Still
+    fully distributed storage (block manager), valid at any map size."""
     link = build_link_map(statements, candidates)
+    if materialize_map:
+        link = link.localCheckpoint(eager=True)
     s_link = link.withColumnRenamed("surface", "s_surf").withColumnRenamed("iri", "s")
     o_link = link.withColumnRenamed("surface", "o_surf").withColumnRenamed("iri", "o")
     # No broadcast hint: the link map is entity-dictionary sized (can be

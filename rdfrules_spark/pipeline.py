@@ -26,6 +26,10 @@ class PipelineResult:
     triples: DataFrame            # encoded (s, p, o, g, pred_bucket)
     dict_df: DataFrame
     pred_stats: DataFrame
+    # checkpointed linked statements (doc_id, stmt_no, s, p, o): counting
+    # this is free; counting `statements` replays generation + the
+    # extraction UDF (it is the only pre-checkpoint handle)
+    linked: DataFrame | None = None
 
 
 def run_pipeline(
@@ -39,7 +43,14 @@ def run_pipeline(
             raise ValueError("need candidates or n_entities")
         candidates = linking.alias_candidates(spark, n_entities)
 
-    statements = extraction.extract_statements(documents)
+    # materialize the extracted statements ONCE: the link stage consumes
+    # them three times (s-surface scan + o-surface scan inside the link
+    # map's distinct, then the join probe), and a lazy plan re-executes the
+    # per-doc generation + extraction UDF — the single most expensive
+    # compute — once per consumer (measured 3x at 960k docs)
+    statements = extraction.extract_statements(documents).localCheckpoint(
+        eager=True
+    )
     # materialize the linked statements ONCE: the CC stage consumes them
     # three times (node seed, symmetric edge set, final rewrite join) and a
     # lazy plan would replay the extraction pandas UDF + link join per
@@ -48,17 +59,21 @@ def run_pipeline(
     # single-execution lineage for every downstream stage; the durable
     # variant (checkpointing.run_pipeline_checkpointed) persists the same
     # cut to parquet with a manifest.
-    # Repartition to the session parallelism before the cut: the link
-    # join's output partitioning (a broadcast join inherits it from
-    # upstream, AQE may have coalesced it) is frozen by the checkpoint and
-    # every downstream first stage is capped at that width — measured 8
-    # partitions / 1.56M rows at local[32], which flattened the N-vs-4N
-    # speedup to ~1x. Hash by doc_id so per-doc locality survives.
-    linked = (
-        linking.link_statements(statements, candidates)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .localCheckpoint(eager=True)
+    # The checkpoint freezes the link join's output partitioning for every
+    # downstream first stage. With statements checkpointed wide (above),
+    # a broadcast link join preserves that width and no shuffle is needed;
+    # but if the plan came back narrow (AQE coalescing, a shuffle-join link
+    # at huge map sizes), re-cut at session parallelism — measured 8
+    # frozen partitions / 1.56M rows at local[32] before this guard, which
+    # flattened the N-vs-4N speedup to ~1x.
+    linked = linking.link_statements(statements, candidates).localCheckpoint(
+        eager=True
     )
+    parallelism = spark.sparkContext.defaultParallelism
+    if linked.rdd.getNumPartitions() < parallelism:
+        linked = linked.repartition(parallelism, "doc_id").localCheckpoint(
+            eager=True
+        )
     rels, sameas = linking.split_sameas(linked)
     canon_rels, canon_map = canonicalize_triples(rels, sameas)
     canon_rels = canon_rels.select("doc_id", "s", "p", "o")
@@ -67,7 +82,9 @@ def run_pipeline(
     dict_df = dictionary.build_dictionary(triples_str)
     triples = dictionary.encode_triples(triples_str)
     stats = dictionary.predicate_stats(triples)
-    return PipelineResult(statements, canon_rels, canon_map, triples, dict_df, stats)
+    return PipelineResult(
+        statements, canon_rels, canon_map, triples, dict_df, stats, linked
+    )
 
 
 def flagship_query(result: PipelineResult) -> DataFrame:

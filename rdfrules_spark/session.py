@@ -43,6 +43,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # shuffle/spill scratch: this sandbox's only disk is a shared
+        # virtio device with 3x run-to-run throughput swings, which
+        # drowns benchmark signal; tmpfs is the local-mode analog of the
+        # NVMe shuffle volumes a real cluster provisions. Overridable
+        # (and skipped when /dev/shm is absent).
+        .config("spark.local.dir", os.environ.get(
+            "SPARK_GRAFT_LOCAL_DIR",
+            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+        ))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )

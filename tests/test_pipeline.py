@@ -197,3 +197,28 @@ def test_sameas_fixture_goldens(spark):
     ).first()
     assert (row.ns, row.np, row.no) == (2, 1, 5)
     t.unpersist()
+
+
+def test_cc_driver_vs_distributed_parity(spark):
+    """connected_components' size-gated driver union-find must produce the
+    identical (node, component-min) map as the distributed min-label
+    propagation loop (forced with driver_threshold=0): chains (worst case
+    for propagation), a star, and a singleton edge."""
+    from rdfrules_spark.canonicalize import connected_components
+
+    edges = [
+        # chain z9->z0 (reversed lexicographic order stresses min-finding)
+        *[(f"z{i+1}", f"z{i}") for i in range(9)],
+        # star with hub NOT the minimum
+        ("hub", "a1"), ("hub", "a2"), ("hub", "a0"),
+        # singleton pair + self-loop
+        ("s1", "s2"), ("q", "q"),
+    ]
+    df = spark.createDataFrame(edges, "a string, b string")
+    fast = {(r.node, r.canon)
+            for r in connected_components(df).collect()}
+    slow = {(r.node, r.canon)
+            for r in connected_components(df, driver_threshold=0).collect()}
+    assert fast == slow
+    assert ("z9", "z0") in fast and ("hub", "a0") in fast
+    assert ("q", "q") in fast
