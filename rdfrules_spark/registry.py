@@ -2564,3 +2564,86 @@ def q_ivf_kmeans_topk(spark, sf_dir):
     return out.select(
         "q_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# Structured Streaming (bounded availableNow drains -> batch results)
+# The reference is batch-only; these prove the streaming path (readStream +
+# foreach-batch / stateful dedup) computes EXACTLY what the batch operators
+# compute, which is the module's design contract (streaming/ingest.py reuses
+# the batch stage transforms verbatim).
+# --------------------------------------------------------------------------
+
+
+def _drain_stream(df, output_mode: str):
+    """Run a bounded availableNow stream into a memory sink; return the
+    drained result as a batch DataFrame (unique sink name + throwaway
+    checkpoint per call so the driver can re-invoke the query freely)."""
+    import tempfile
+    import uuid
+
+    name = "strm_" + uuid.uuid4().hex[:12]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix=name + "_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return df.sparkSession.table(name)
+
+
+@register(
+    "stream_extract_pred_counts",
+    f"""
+    with {_KG_W_SQL}
+    select p, count(*) as cnt from w where p <> 'dup' group by p
+    """,
+)
+def q_stream_extract_pred_counts(spark, sf_dir):
+    """Streaming analog of kg_extract_pred_counts: file-source readStream
+    over documents.parquet -> batch extraction transform -> windowless
+    streaming aggregation (complete mode). Must equal the batch answer."""
+    from rdfrules_spark.streaming import (
+        stream_plain_documents,
+        stream_statements,
+    )
+
+    stmts = stream_statements(
+        stream_plain_documents(spark, f"{sf_dir}/documents.parquet"),
+        window3=True,
+    )
+    agg = stmts.where(F.col("p") != "dup").groupBy("p").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return _drain_stream(agg, "complete")
+
+
+@register(
+    "stream_dedup_distinct_counts",
+    f"""
+    with {_KG_W_SQL}
+    select p, count(distinct (s_surf, o_surf)) as n_distinct from w group by p
+    """,
+)
+def q_stream_dedup_distinct_counts(spark, sf_dir):
+    """applyInPandasWithState exact streaming dedup (streaming/ingest.py
+    dedup_statements_stateful): each distinct (s_surf,p,o_surf) statement is
+    emitted exactly once across the stream, so a batch count(*) per p over
+    the drained output equals the batch count(distinct) per p."""
+    from rdfrules_spark.streaming import (
+        dedup_statements_stateful,
+        stream_plain_documents,
+        stream_statements,
+    )
+
+    stmts = stream_statements(
+        stream_plain_documents(spark, f"{sf_dir}/documents.parquet"),
+        window3=True,
+    ).select("s_surf", "p", "o_surf")
+    drained = _drain_stream(dedup_statements_stateful(stmts), "append")
+    return drained.groupBy("p").agg(F.count(F.lit(1)).alias("n_distinct"))

@@ -1,0 +1,9 @@
+from rdfrules_spark.streaming.ingest import (  # noqa: F401
+    dedup_statements_stateful,
+    finalize_store,
+    run_incremental_pipeline,
+    stream_documents,
+    stream_plain_documents,
+    stream_statements,
+    windowed_pred_counts,
+)
