@@ -79,7 +79,17 @@ def connected_components(
         out = _driver_union_find(
             [(r[0], r[1]) for r in edges2.collect()]
         )
-        return spark.createDataFrame(out, "node string, canon string")
+        import pandas as pd
+
+        if not out:
+            return spark.createDataFrame([], "node string, canon string")
+        # Arrow-path createDataFrame + eager checkpoint: the map feeds two
+        # broadcast joins downstream (s-side, o-side); a plain LocalRelation
+        # would re-pickle the whole list from the driver per broadcast
+        # exchange, while a checkpointed relation broadcasts from block-
+        # manager blocks (and the Arrow conversion is ~10x the pickle path)
+        pdf = pd.DataFrame(out, columns=["node", "canon"])
+        return spark.createDataFrame(pdf).localCheckpoint(eager=True)
     sym = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionAll(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
