@@ -73,7 +73,16 @@ def connected_components(
     owl:sameAs links) the distributed min-label-propagation loop below
     runs unchanged. Same adaptivity argument as AQE's runtime re-planning;
     both paths produce the identical (node, component-min) map."""
-    edges2 = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    # materialize the (small relative to the fact stream) edge set ONCE:
+    # the path decision (count), the driver collect, and the distributed
+    # loop's symmetric-closure seed all read the checkpoint — the upstream
+    # relation is scanned exactly once. (A limit(T+1).collect() probe was
+    # measured SLOWER here: CollectLimit evaluates partition batches
+    # serially — 1, 4, 16, ... — while this is one fully-parallel pass.)
+    edges2 = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .localCheckpoint(eager=True)
+    )
     if driver_threshold > 0 and edges2.count() <= driver_threshold:
         spark = edges.sparkSession
         out = _driver_union_find(
@@ -91,8 +100,9 @@ def connected_components(
         pdf = pd.DataFrame(out, columns=["node", "canon"])
         return spark.createDataFrame(pdf).localCheckpoint(eager=True)
     sym = (
-        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-        .unionAll(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        edges2.unionAll(
+            edges2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
         .distinct()
     )
     labels = (

@@ -164,14 +164,16 @@ def run_pipeline_checkpointed(
     )
 
     fp3 = {"up": fp2, "op": "triple_store"}
-    triples_str = relations.select("s", "p", "o").distinct()
+    triples_str = relations.select("s", "p", "o")
     dict_df = write_stage(
         dictionary.build_dictionary(triples_str), workdir, "dictionary",
         {"up": fp3, "out": "dict"},
     )
+    # dedup after hash-encoding: fixed-width long shuffle, same result
+    # (ids are deterministic content hashes) — see pipeline.run_pipeline
     triples = write_stage(
-        dictionary.encode_triples(triples_str), workdir, "triples", fp3,
-        partition_by=["pred_bucket"],
+        dictionary.encode_triples(triples_str).distinct(), workdir,
+        "triples", fp3, partition_by=["pred_bucket"],
     )
     stats = write_stage(
         dictionary.predicate_stats(triples), workdir, "pred_stats",

@@ -78,9 +78,13 @@ def run_pipeline(
     canon_rels, canon_map = canonicalize_triples(rels, sameas)
     canon_rels = canon_rels.select("doc_id", "s", "p", "o")
 
-    triples_str = canon_rels.select("s", "p", "o").distinct()
+    triples_str = canon_rels.select("s", "p", "o")
     dict_df = dictionary.build_dictionary(triples_str)
-    triples = dictionary.encode_triples(triples_str)
+    # dedup AFTER hash-encoding: ids are deterministic content hashes, so
+    # encode-then-distinct == distinct-then-encode, and the distinct
+    # shuffles fixed-width longs (~36 B/row) instead of IRI strings
+    # (~2-3x the bytes) — the dominant shuffle of the pipeline tail
+    triples = dictionary.encode_triples(triples_str).distinct()
     stats = dictionary.predicate_stats(triples)
     return PipelineResult(
         statements, canon_rels, canon_map, triples, dict_df, stats, linked

@@ -79,18 +79,22 @@ def test_windowed_pred_counts_watermark(spark, tmp_path):
     )
     in_dir = str(tmp_path / "win_in")
     for i, shift in enumerate((0, 1800, 3600)):
+        before = set(_os.listdir(in_dir)) if _os.path.isdir(in_dir) else set()
         base.select(
             "p",
             F.timestamp_seconds(
                 F.unix_timestamp("event_time") + F.lit(shift)
             ).alias("event_time"),
         ).coalesce(1).write.mode("append").parquet(in_dir)
-        # file-source batches order by modification time; make it strict
-        for j, f in enumerate(
-            sorted(f for f in _os.listdir(in_dir) if f.endswith(".parquet"))
-        ):
-            p = _os.path.join(in_dir, f)
-            _os.utime(p, (1_000_000 + j * 10, 1_000_000 + j * 10))
+        # file-source batches order by modification time; pin it to DROP
+        # order (part filenames carry random UUIDs, so sorting by name
+        # would randomize which drop the stream sees first)
+        for f in _os.listdir(in_dir):
+            if f.endswith(".parquet") and f not in before:
+                p = _os.path.join(in_dir, f)
+                new = _os.path.join(in_dir, f"drop{i}.parquet")
+                _os.rename(p, new)
+                _os.utime(new, (1_000_000 + i * 10, 1_000_000 + i * 10))
         _time.sleep(0.05)
 
     schema = spark.read.parquet(in_dir).schema
