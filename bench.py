@@ -157,7 +157,9 @@ def run_bench(sf_dir: str, only: set[str] | None = None,
     from rdfrules_spark.session import get_spark
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark("rdfrules-bench", master=f"local[{cpus}]")
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    spark = get_spark("rdfrules-bench", master=master,
+                      shuffle_partitions=int(cpus))
     sf = sf_of(sf_dir)
     n_docs = n_docs_override or n_docs_for(sf)
     aux: dict = {}
@@ -224,7 +226,7 @@ def _effective_cores(n: int, secs: float = 2.0) -> float:
 
 
 def run_scaling(sf_dir: str, n_low: int = 4, n_docs: int | None = None,
-                reps: int = 2) -> dict:
+                reps: int = 2, cluster: bool = False) -> dict:
     """Same job, two parallelism levels, in fresh subprocesses; per level
     the MINIMUM wall time over `reps` runs (the host's CPU delivery varies
     run-to-run; min is the standard noise-robust estimator).
@@ -243,7 +245,16 @@ def run_scaling(sf_dir: str, n_low: int = 4, n_docs: int | None = None,
         best = None
         for _ in range(reps):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-            env.pop("SPARK_GRAFT_MASTER", None)
+            if cluster:
+                # REAL multi-executor topology: N separate executor JVMs
+                # x 4 cores (own heap, own Python workers, netty shuffle
+                # transport) — the faithful sandbox analog of "N and 4N
+                # executors" in the north rule
+                env["SPARK_GRAFT_MASTER"] = (
+                    f"local-cluster[{cpus // 4},4,4096]"
+                )
+            else:
+                env.pop("SPARK_GRAFT_MASTER", None)
             p = subprocess.run(
                 [sys.executable, __file__, sf_dir, "--only",
                  "kg_synth_pipeline", "--docs", str(n_docs)],
@@ -262,6 +273,8 @@ def run_scaling(sf_dir: str, n_low: int = 4, n_docs: int | None = None,
     speedup = t_lo / t_hi
     return {
         "metric": "scaling_efficiency_n_vs_4n",
+        "topology": ("local-cluster[N/4,4,4096] multi-executor"
+                     if cluster else "local[N] threads"),
         "value": round(speedup / 4.0, 3),
         "unit": "ratio",
         "n_low": n_low,
@@ -291,6 +304,9 @@ def main() -> None:
     scaling = "--scaling" in args
     if scaling:
         args.remove("--scaling")
+    cluster = "--cluster" in args
+    if cluster:
+        args.remove("--cluster")
     only: set[str] | None = None
     if "--only" in args:
         i = args.index("--only")
@@ -302,7 +318,7 @@ def main() -> None:
         n_docs = int(args[i + 1])
         del args[i : i + 2]
     sf_dir = args[0] if args else os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR_DEFAULT)
-    out = (run_scaling(sf_dir, n_docs=n_docs) if scaling
+    out = (run_scaling(sf_dir, n_docs=n_docs, cluster=cluster) if scaling
            else run_bench(sf_dir, only, n_docs_override=n_docs))
     print(json.dumps(out))
 

@@ -55,6 +55,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("local-cluster"):
+        # local-cluster executors are separate JVMs whose Python workers
+        # don't inherit the driver's sys.path — ship the package root
+        # (spark-submit analog: --py-files, tools/submit_job.py)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = builder.config("spark.executorEnv.PYTHONPATH", repo_root)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
