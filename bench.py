@@ -122,6 +122,33 @@ def bench_mine_yago(spark, aux: dict) -> bool:
     return True
 
 
+def bench_stream_pipeline(spark, sf_dir: str, aux: dict) -> None:
+    """Structured Streaming analog of kg_sf_documents: file-source
+    readStream over documents.parquet -> per-micro-batch extraction +
+    sameAs split (foreachBatch, exactly-once batch_id partitions) ->
+    batch finalize (CC + dictionary encode). Same triple set as the batch
+    path; the timed quantity is end-to-end bounded-stream drain +
+    finalize."""
+    import shutil
+    import tempfile
+
+    from rdfrules_spark.streaming.ingest import (
+        finalize_store,
+        run_incremental_pipeline,
+        stream_plain_documents,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="bench_stream_")
+    docs = stream_plain_documents(spark, f"{sf_dir}/documents.parquet")
+    q = run_incremental_pipeline(spark, docs, workdir, window3=True)
+    q.awaitTermination(600)
+    canonical, _, triples, _ = finalize_store(spark, workdir)
+    # same quantity kg_sf_documents counts: canonical statement rows
+    aux["stream_statements"] = canonical.count()
+    aux["stream_triples"] = triples.select("s", "p", "o").distinct().count()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
 def bench_minhash(spark, sf_dir: str, aux: dict) -> None:
     from pyspark.sql import functions as F
 
@@ -178,6 +205,7 @@ def run_bench(sf_dir: str, only: set[str] | None = None,
     timed("kg_sf_documents", bench_kg_sf, spark, sf_dir, aux)
     timed("mine_kg_l3", bench_mine_kg, spark, sf, aux)
     timed("mine_yago", bench_mine_yago, spark, aux)
+    timed("stream_pipeline", bench_stream_pipeline, spark, sf_dir, aux)
     timed("minhash_lsh", bench_minhash, spark, sf_dir, aux)
     timed("cosine_topk", bench_cosine, spark, sf_dir, aux)
 
