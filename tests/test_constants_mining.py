@@ -88,6 +88,23 @@ def test_yago_constants_duplicates_51136(spark):
 
 
 @pytest.mark.skipif(not os.path.exists(YAGO), reason="yago fixture absent")
+def test_yago_lcs_constants_7595(spark):
+    """ConsumersSpec.scala:25-35 ("accept default consumer"): minHC 0.01,
+    WithoutDuplicatePredicates, ConstantsAtPosition(LowerCardinalitySide())
+    => 7595 rules — EXACT reference golden (per-predicate constant side =
+    the side with the higher relative-cardinality functionality,
+    TripleIndex.scala:155-159)."""
+    from rdfrules_spark.sources.tsv import read_tsv
+
+    t = read_tsv(spark, YAGO).select("s", "p", "o").distinct().cache()
+    params = MiningParams(min_head_size=100, min_support=1,
+                          min_head_coverage=0.01,
+                          with_duplicate_predicates=False)
+    assert mine_constants(t, params, constants="lcs").count() == 7595
+    t.unpersist()
+
+
+@pytest.mark.skipif(not os.path.exists(YAGO), reason="yago fixture absent")
 def test_yago_object_constants_74993(spark):
     # AmieSpec.scala:175-193 ("mine only with object instances")
     from rdfrules_spark.sources.tsv import read_tsv
