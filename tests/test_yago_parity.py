@@ -5,6 +5,7 @@ correctness bar of SURVEY.md §5."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from rdfrules_spark.mining.amie import MiningParams, mine
 from rdfrules_spark.mining.measures import cwa_confidence
@@ -126,3 +127,28 @@ def test_min_confidence_pruning_exact_parity(yago):
         for r in pruned.collect()
     }
     assert pruned_set == exact_set and len(pruned_set) == 7
+
+
+def test_graphspec_triple_ops_goldens(spark):
+    """GraphSpec.scala:33-59 'have triples ops' (yago-only assertions):
+    filter(dealsWith)=520, properties().size=33, hasWonPrize range
+    sum=1110 (the reference types bare TSV tokens as LongUri in Raw mode;
+    our term_kind calls the same unbracketed tokens 'text' — the per-
+    predicate count is the pinned quantity), histogram(p)=33 rows with
+    hasGeonamesId=2103, filtered histogram(p,o) over hasOfficialLanguage =
+    147 keys with Russian_language=4."""
+    from rdfrules_spark.operators.histogram import histogram, properties
+    from rdfrules_spark.sources.tsv import read_tsv
+
+    t = read_tsv(spark, YAGO)
+    assert t.where(F.col("p") == "dealsWith").count() == 520
+    props = properties(t)
+    assert props.select("p").distinct().count() == 33
+    won = props.where(F.col("p") == "hasWonPrize").collect()
+    assert [(r["okind"], r["cnt"]) for r in won] == [("text", 1110)]
+    h = histogram(t, "p")
+    assert h.count() == 33
+    assert h.where(F.col("p") == "hasGeonamesId").collect()[0]["cnt"] == 2103
+    h2 = histogram(t.where(F.col("p") == "hasOfficialLanguage"), "p", "o")
+    assert h2.count() == 147
+    assert h2.where(F.col("o") == "Russian_language").collect()[0]["cnt"] == 4
