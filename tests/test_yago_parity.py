@@ -152,3 +152,14 @@ def test_graphspec_triple_ops_goldens(spark):
     h2 = histogram(t.where(F.col("p") == "hasOfficialLanguage"), "p", "o")
     assert h2.count() == 147
     assert h2.where(F.col("o") == "Russian_language").collect()[0]["cnt"] == 4
+
+
+def test_indexspec_dictionary_size(spark):
+    """IndexSpec.scala:34-35: the TripleItemHashIndex holds 42,980 distinct
+    items over yago = 42,979 distinct s/p/o terms + the graph name (our
+    dictionary is term-only; the graph rides as an encoded column)."""
+    from rdfrules_spark.dictionary import build_dictionary
+    from rdfrules_spark.sources.tsv import read_tsv
+
+    t = read_tsv(spark, YAGO).select("s", "p", "o")
+    assert build_dictionary(t).count() == 42980 - 1
