@@ -163,3 +163,17 @@ def test_indexspec_dictionary_size(spark):
 
     t = read_tsv(spark, YAGO).select("s", "p", "o")
     assert build_dictionary(t).count() == 42980 - 1
+
+
+def test_datasetspec_prefix_file():
+    """DatasetSpec.scala:31: addPrefixes(prefixes.ttl) yields exactly 2
+    user-defined prefixes — parsed from the reference's own fixture."""
+    from rdfrules_spark.sources.prefixes import read_prefix_file
+
+    p = read_prefix_file(
+        "/root/reference/core/src/test/resources/prefixes.ttl"
+    )
+    assert p == {
+        "dbp": "http://cs.dbpedia.org/property/",
+        "dbr": "http://cs.dbpedia.org/resource/",
+    }
