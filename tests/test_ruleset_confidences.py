@@ -58,3 +58,20 @@ def test_lift_base_105(conf):
     # RulesetSpec.scala:61-70: computeLift keeps rules with CWA conf >= 0.5
     _, c = conf
     assert c.where("cwa_confidence >= 0.5").count() == 105
+
+
+def test_pattern_filters_36_30(conf):
+    """RulesetSpec.scala:135-147 'filter by patterns' on the lcs ruleset:
+    body contains livesIn -> 36; union of (livesIn =>: hasCurrency) and
+    (=>: isCitizenOf) -> 30. NB: a bare AtomPattern in RulePattern context
+    is the HEAD pattern (RulePattern.scala:95 implicit), not a body atom."""
+    from rdfrules_spark.mining.patterns import AtomPattern, filter_rules
+
+    rules, _ = conf
+    li = AtomPattern(predicate="livesIn")
+    assert filter_rules(rules, body=li).count() == 36
+    p1 = filter_rules(
+        rules, body=li, head=AtomPattern(predicate="hasCurrency")
+    )
+    p2 = filter_rules(rules, head=AtomPattern(predicate="isCitizenOf"))
+    assert p1.unionByName(p2).distinct().count() == 30
