@@ -110,11 +110,18 @@ def filter_rules(
     body: list[AtomPattern] | AtomPattern | None = None,
     head: AtomPattern | None = None,
     exact: bool = False,
+    orderless: bool = False,
     head_col: str = "head",
     atoms_col: str = "atoms",
 ) -> DataFrame:
     """Keep rules matching the pattern (see module docstring for exact
-    semantics and golden pinning)."""
+    semantics and golden pinning).
+
+    ``orderless`` (RulePattern.withOrderless, RulePattern.scala:36-44):
+    pattern atoms may match ANY body atom — the default (gradual) mode
+    additionally requires a matched atom in the head-adjacent position,
+    mirroring the reference's level-by-level pattern matching during
+    refinement (PatternsSpec orderless-partial golden: 129 vs 18 gradual)."""
     if isinstance(body, AtomPattern):
         body = [body]
     body = body or []
@@ -125,25 +132,28 @@ def filter_rules(
         cond = cond & _atom_match(F.col("_h"), head)
     if len(body) == 1:
         p = body[0]
-        cond = cond & F.exists(
-            F.col("_a"),
-            lambda x: _atom_match(x, p) & _head_connected(x, F.col("_h")),
-        )
+        if orderless:
+            cond = cond & F.exists(F.col("_a"), lambda x: _atom_match(x, p))
+        else:
+            cond = cond & F.exists(
+                F.col("_a"),
+                lambda x: _atom_match(x, p) & _head_connected(x, F.col("_h")),
+            )
     elif len(body) == 2:
         p1, p2 = body
         # injective assignment of the two patterns to two distinct atoms;
-        # at least one matched atom head-connected (the first-generated one)
+        # gradual mode: at least one matched atom head-connected (the
+        # first-generated one)
         def pair(i, j):
             # F.get: null (not ANSI error) when the body has < 2 atoms
             ai, aj = F.get(F.col("_a"), i), F.get(F.col("_a"), j)
-            return (
-                _atom_match(ai, p1)
-                & _atom_match(aj, p2)
-                & (
+            m = _atom_match(ai, p1) & _atom_match(aj, p2)
+            if not orderless:
+                m = m & (
                     _head_connected(ai, F.col("_h"))
                     | _head_connected(aj, F.col("_h"))
                 )
-            )
+            return m
 
         cond = cond & (F.size(F.col("_a")) >= 2) & (pair(0, 1) | pair(1, 0))
     elif len(body) > 2:

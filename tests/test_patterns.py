@@ -82,3 +82,50 @@ def test_pattern_suite(ruleset):
     acted = filter_rules(full, head=AtomPattern(predicate="actedIn"))
     directed = filter_rules(full, head=AtomPattern(predicate="directed"))
     assert acted.unionByName(directed).count() == 36
+
+
+def test_patternsspec_lcs_goldens(spark):
+    """PatternsSpec.scala:29-65 — gradual/orderless patterns on the
+    constants=LowerCardinalitySide, no-dup, minHC 0.01 ruleset
+    (ConsumersSpec's 7595-rule set):
+
+      * partial dealsWith =>: imports  -> 1638
+      * exact [dealsWith] =>: imports  -> 52
+      * exact {hasCapital, dealsWith} =>: imports -> 111 (the reference
+        distinguishes 111 vs 0 by pattern-atom POSITION against the
+        generation-ordered body vector; our canonical atoms array is
+        sort-ordered, so both orders match the injective-assignment 111 —
+        the orderless variant, which the reference also pins at 111)
+      * orderless partial hasCapital =>: imports -> 129 (gradual matching
+        — head-adjacent position required — gives 18; withOrderless lifts
+        the position requirement, RulePattern.scala:36-44)
+    """
+    import os
+
+    from rdfrules_spark.mining.amie import MiningParams
+    from rdfrules_spark.mining.constants import mine_constants
+    from rdfrules_spark.sources.tsv import read_tsv
+
+    yago = "/root/reference/core/src/test/resources/yago.tsv"
+    if not os.path.exists(yago):
+        import pytest
+
+        pytest.skip("yago fixture absent")
+    t = read_tsv(spark, yago).select("s", "p", "o").distinct().cache()
+    params = MiningParams(min_head_size=100, min_support=1,
+                          min_head_coverage=0.01,
+                          with_duplicate_predicates=False)
+    rules = mine_constants(t, params, constants="lcs").cache()
+    dw = AtomPattern(predicate="dealsWith")
+    hc = AtomPattern(predicate="hasCapital")
+    im = AtomPattern(predicate="imports")
+    assert filter_rules(rules, body=dw, head=im).count() == 1638
+    assert filter_rules(rules, body=dw, head=im, exact=True).count() == 52
+    assert filter_rules(
+        rules, body=[hc, dw], head=im, exact=True, orderless=True
+    ).count() == 111
+    assert filter_rules(
+        rules, body=hc, head=im, orderless=True
+    ).count() == 129
+    rules.unpersist()
+    t.unpersist()
