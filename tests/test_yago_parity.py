@@ -177,3 +177,18 @@ def test_datasetspec_prefix_file():
         "dbp": "http://cs.dbpedia.org/property/",
         "dbr": "http://cs.dbpedia.org/resource/",
     }
+
+
+def test_graphspec_file_order_head(spark):
+    """GraphSpec.scala:22-40: the TSV scan preserves file order, so
+    head/take see the reference's exact first triples — first is
+    (Azerbaijan hasCapital Baku), take(2).last / drop(1).head is
+    (Azerbaijan dealsWith People's_Republic_of_China)."""
+    from rdfrules_spark.sources.tsv import read_tsv
+
+    t = read_tsv(spark, YAGO).select("s", "p", "o")
+    first_two = [tuple(r) for r in t.head(2)]
+    assert first_two[0] == ("Azerbaijan", "hasCapital", "Baku")
+    assert first_two[1] == (
+        "Azerbaijan", "dealsWith", "People's_Republic_of_China"
+    )
