@@ -126,6 +126,239 @@ def export_text(rules: DataFrame, path: str) -> None:
     ).text(path)
 
 
+# -- reference-format JSON (ruleset/formats/Json.scala) ----------------------
+#
+# The reference's Ruleset.export("*.json") writes a JSON ARRAY of resolved
+# rules, each pretty-printed with spray-json's PrettyPrinter: objects are
+# multi-line (2-space indent, one member per line), arrays are single-line
+# (elements joined by ", "), leaves inline. File framing (Json.scala:20-31):
+# a '[' line, each rule printed via println(sep + pretty) with sep "," from
+# the second rule on, then a ']' line. RulesetSpec.scala:117-134 pins the
+# resulting LINE COUNT of the lcs ruleset export to 35,226 (and 37,613 for
+# the graph-aware variant) — reproduced bit-for-line by this writer
+# (tests/test_ruleset_confidences.py).
+#
+# Rule JSON schema (rule/ResolvedRule.scala:80-86, ResolvedAtom.scala:96-172,
+# rule/Measure.scala:181-196):
+#   {"head": <atom>, "body": [<atom>...], "measures": [<measure>...]}
+#   atom    = {"subject": <item>, "predicate": <uri-leaf>, "object": <item>
+#              [, "graphs": [<uri-leaf>...]]}
+#   item    = {"type": "variable"|"constant", "value": <leaf>}
+#   measure = {"name": "Support"|..., "value": <number>}
+# Constant values are emitted as raw term strings (the reference's
+# TripleItem.toJson renders numbers as JsNumber; we keep the lexical form so
+# import(export(x)) == x bit-for-bit — a leaf either way, so the pinned line
+# counts are unaffected).
+
+#: measures attached by mining, in reference insertion order
+#: (HeadCoverage, HeadSize, Support on every freshly mined rule)
+_MINED_MEASURES = (
+    ("HeadCoverage", "head_coverage"),
+    ("HeadSize", "head_size"),
+    ("Support", "support"),
+)
+
+
+def _pretty(v, indent: int = 0) -> str:
+    """spray-json PrettyPrinter: multi-line objects, single-line arrays."""
+    if isinstance(v, dict):
+        inner = ",\n".join(
+            " " * (indent + 2) + json.dumps(k) + ": " + _pretty(x, indent + 2)
+            for k, x in v.items()
+        )
+        return "{\n" + inner + "\n" + " " * indent + "}"
+    if isinstance(v, list):
+        return "[" + ", ".join(_pretty(x, indent) for x in v) + "]"
+    return json.dumps(v)
+
+
+def _atom_obj(atom: str, graphs: list[str] | None):
+    s, p, o = atom.split("|", 2)
+
+    def item(t):
+        if t.startswith("C="):
+            return {"type": "constant", "value": t[2:]}
+        return {"type": "variable", "value": t}
+
+    out = {"subject": item(s), "predicate": p, "object": item(o)}
+    if graphs is not None:
+        out["graphs"] = list(graphs)
+    return out
+
+
+def _atom_str(obj: dict) -> str:
+    def term(it):
+        if it["type"] == "constant":
+            return "C=" + str(it["value"])
+        return it["value"]
+
+    return f'{term(obj["subject"])}|{obj["predicate"]}|{term(obj["object"])}'
+
+
+def export_reference_json(
+    rules: DataFrame,
+    path: str,
+    graphs: list[str] | None = None,
+    max_rows: int = 1_000_000,
+) -> None:
+    """Write the reference's pretty-printed JSON-array ruleset format over
+    the resolved-rule schema (head, atoms, support, head_size,
+    head_coverage). ``graphs`` switches to the graph-aware atom schema
+    (Ruleset.graphAwareRules.export — every atom gains a "graphs" array).
+    Driver-side by necessity (one JSON array is single-writer; the
+    reference materializes the ruleset the same way) — use export_ndjson
+    at billion-rule scale."""
+    rows = (
+        rules.select("head", "atoms", "support", "head_size",
+                     "head_coverage")
+        .orderBy("head", "atoms")
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"ruleset exceeds max_rows={max_rows}; use export_ndjson"
+        )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write("[\n")
+        sep = ""
+        for r in rows:
+            obj = {
+                "head": _atom_obj(r["head"], graphs),
+                "body": [_atom_obj(a, graphs) for a in r["atoms"]],
+                "measures": [
+                    {"name": n, "value": r[c]} for n, c in _MINED_MEASURES
+                ],
+            }
+            f.write(sep + _pretty(obj) + "\n")
+            sep = ","
+        f.write("]\n")
+
+
+def import_reference_json(spark: SparkSession, path: str) -> DataFrame:
+    """Read the reference JSON-array ruleset format back to the resolved
+    schema (the file is one valid JSON document — Json.scala:34-43 parses
+    it the same way)."""
+    with open(path) as f:
+        objs = json.load(f)
+    schema = T.StructType([
+        T.StructField("head", T.StringType()),
+        T.StructField("atoms", T.ArrayType(T.StringType())),
+        T.StructField("support", T.LongType()),
+        T.StructField("head_size", T.LongType()),
+        T.StructField("head_coverage", T.DoubleType()),
+    ])
+    rows = []
+    for o in objs:
+        meas = {m["name"]: m["value"] for m in o.get("measures", [])}
+        rows.append((
+            _atom_str(o["head"]),
+            [_atom_str(a) for a in o["body"]],
+            int(meas.get("Support", 0)),
+            int(meas.get("HeadSize", 0)),
+            float(meas.get("HeadCoverage", 0.0)),
+        ))
+    return spark.createDataFrame(rows, schema)
+
+
+# -- AnyBURL ruleset format --------------------------------------------------
+#
+# The reference's KGC experiments import AnyBURL-mined rules
+# (experiments_kgc:AnyBurlRulesetFormat.scala:10-33): each line of the
+# public AnyBURL rule file is
+#
+#     predicted \t correctlyPredicted \t confidence \t rule
+#
+# with ``rule = head(L,R) <= b1(L,R), b2(L,R), ...``; an argument is a
+# VARIABLE iff it is a single uppercase letter (AnyBURL's variable
+# alphabet), else a constant. The adapter maps variable ``X`` to the
+# resolved variable ``x`` (atom.getLeft.head.toLower) and the three
+# numbers to BodySize / Support / CwaConfidence respectively
+# (AnyBurlRulesetFormat.scala:25). Here the whole parse is JVM-side
+# (csv read + regexp + higher-order transform) so a billion-rule AnyBURL
+# file streams through distributed — no driver materialization.
+
+_ANYBURL_ATOM_RE = r"([^\s,()]+)\(([^,()]+),([^,()]+)\)"
+
+
+def _anyburl_term(t):
+    """AnyBURL argument -> resolved term: single uppercase letter is a
+    variable (lowercased, '?'-prefixed); anything else a constant."""
+    return F.when(
+        t.rlike("^[A-Z]$"), F.concat(F.lit("?"), F.lower(t))
+    ).otherwise(F.concat(F.lit("C="), t))
+
+
+def import_anyburl(spark: SparkSession, path: str) -> DataFrame:
+    """Read an AnyBURL rule file to the resolved-rule schema
+    (head, atoms, support, body_size, cwa_confidence)."""
+    raw = (
+        spark.read.option("sep", "\t")
+        .schema(
+            "predicted LONG, correct LONG, confidence DOUBLE, rule STRING"
+        )
+        .csv(path)
+    )
+    parts = F.split(F.col("rule"), r" <= ", 2)
+
+    def atoms_of(segment):
+        return F.transform(
+            F.regexp_extract_all(segment, F.lit(_ANYBURL_ATOM_RE), 0),
+            lambda a: F.concat_ws(
+                "|",
+                _anyburl_term(F.regexp_extract(a, _ANYBURL_ATOM_RE, 2)),
+                F.regexp_extract(a, _ANYBURL_ATOM_RE, 1),
+                _anyburl_term(F.regexp_extract(a, _ANYBURL_ATOM_RE, 3)),
+            ),
+        )
+
+    return raw.select(
+        F.get(atoms_of(F.get(parts, 0)), 0).alias("head"),
+        atoms_of(F.get(parts, 1)).alias("atoms"),
+        F.col("correct").alias("support"),
+        F.col("predicted").alias("body_size"),
+        F.col("confidence").alias("cwa_confidence"),
+    ).where(F.col("head").isNotNull())
+
+
+def export_anyburl(rules: DataFrame, path: str) -> None:
+    """Write resolved rules (head, atoms [, support, body_size,
+    cwa_confidence]) as AnyBURL rule lines — the inverse of
+    import_anyburl, distributed via df.write.text."""
+    def term(t):
+        return F.when(
+            t.startswith("C="), F.substring(t, 3, 2_000_000)
+        ).otherwise(F.upper(F.substring(t, 2, 2_000_000)))
+
+    def atom_text(a):
+        p = F.split(a, r"\|", 3)
+        return F.concat(
+            F.get(p, 1), F.lit("("), term(F.get(p, 0)), F.lit(","),
+            term(F.get(p, 2)), F.lit(")"),
+        )
+
+    cols = dict(
+        (c, F.col(c)) if c in rules.columns
+        else (c, F.lit(0) if c != "cwa_confidence" else F.lit(0.0))
+        for c in ("support", "body_size", "cwa_confidence")
+    )
+    line = F.concat_ws(
+        "\t",
+        cols["body_size"].cast("string"),
+        cols["support"].cast("string"),
+        cols["cwa_confidence"].cast("string"),
+        F.concat(
+            atom_text(F.col("head")),
+            F.lit(" <= "),
+            F.concat_ws(
+                ", ", F.transform(F.col("atoms"), atom_text)
+            ),
+        ),
+    )
+    rules.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
 # -- predictions (core:prediction/formats/) ---------------------------------
 
 PREDICTION_SCHEMA = T.StructType([

@@ -208,3 +208,44 @@ def test_tsv_gz_compression_roundtrip(spark, tmp_path):
     assert {tuple(r) for r in again.select("s", "p", "o").collect()} == {
         ("e:a", "p:x", "e:b")
     }
+
+
+ANYBURL = """\
+27\t13\t0.4814814\thasCurrency(X,Y) <= dealsWith(X,A), hasCurrency(A,Y)
+113\t113\t1.0\tisCitizenOf(X,United_States) <= livesIn(X,New_York)
+5\t2\t0.4\tlivesIn(X,Y) <= wasBornIn(X,Y)
+"""
+
+
+def test_anyburl_import_and_roundtrip(spark, tmp_path):
+    """experiments_kgc:AnyBurlRulesetFormat.scala:10-33 — AnyBURL lines
+    parse to resolved rules (uppercase single letter = variable, lowered;
+    predicted/correct/confidence -> BodySize/Support/CwaConfidence)."""
+    from rdfrules_spark.ruleset_io import export_anyburl, import_anyburl
+
+    f = tmp_path / "rules.txt"
+    f.write_text(ANYBURL)
+    df = import_anyburl(spark, str(f))
+    rows = {
+        (r.head, tuple(r.atoms), r.support, r.body_size, r.cwa_confidence)
+        for r in df.collect()
+    }
+    assert (
+        "?x|hasCurrency|?y",
+        ("?x|dealsWith|?a", "?a|hasCurrency|?y"),
+        13, 27, 0.4814814,
+    ) in rows
+    assert (
+        "?x|isCitizenOf|C=United_States",
+        ("?x|livesIn|C=New_York",),
+        113, 113, 1.0,
+    ) in rows
+    assert len(rows) == 3
+
+    out = str(tmp_path / "rules_out")
+    export_anyburl(df, out)
+    back = import_anyburl(spark, out)
+    assert {
+        (r.head, tuple(r.atoms), r.support, r.body_size, r.cwa_confidence)
+        for r in back.collect()
+    } == rows

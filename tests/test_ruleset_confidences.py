@@ -60,6 +60,47 @@ def test_lift_base_105(conf):
     assert c.where("cwa_confidence >= 0.5").count() == 105
 
 
+def test_reference_json_export_goldens(conf, tmp_path):
+    """RulesetSpec.scala:117-134 'export': the pretty-printed JSON array of
+    the lcs ruleset is 35,226 lines, and the graph-aware variant 37,613.
+    These two pins jointly fix the ruleset size (811 rules — lines =
+    2 + 14*R + 10*A with 3 measures/rule) AND the total atom count
+    (A = 2,387 = head + body atoms, i.e. the rule-length distribution),
+    then the import round-trip pins content equality."""
+    from rdfrules_spark.ruleset_io import (
+        export_reference_json,
+        import_reference_json,
+    )
+
+    rules, _ = conf
+    assert rules.count() == 811
+
+    p1 = str(tmp_path / "rules.json")
+    export_reference_json(rules, p1)
+    with open(p1) as f:
+        n_lines = sum(1 for _ in f)
+    assert n_lines == 35226  # RulesetSpec.scala:129
+
+    p2 = str(tmp_path / "rules_ga.json")
+    export_reference_json(rules, p2, graphs=["yago"])
+    with open(p2) as f:
+        n_lines_ga = sum(1 for _ in f)
+    assert n_lines_ga == 37613  # RulesetSpec.scala:177
+
+    back = import_reference_json(rules.sparkSession, p1)
+    orig = {
+        (r["head"], tuple(r["atoms"]), r["support"], r["head_size"])
+        for r in rules.select(
+            "head", "atoms", "support", "head_size"
+        ).collect()
+    }
+    got = {
+        (r["head"], tuple(r["atoms"]), r["support"], r["head_size"])
+        for r in back.collect()
+    }
+    assert got == orig
+
+
 def test_pattern_filters_36_30(conf):
     """RulesetSpec.scala:135-147 'filter by patterns' on the lcs ruleset:
     body contains livesIn -> 36; union of (livesIn =>: hasCurrency) and
