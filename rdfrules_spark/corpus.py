@@ -201,19 +201,23 @@ def derive_documents(docs: DataFrame, sentence_tokens: int = 9) -> DataFrame:
     yields triples via the window-3 extraction rule); a media span is
     interleaved after sentence j when (doc_id*31 + j) % 3 == 0.
     """
-    toks = F.split(F.col("text"), " ")
-    n_sent = F.ceil(F.size(toks) / F.lit(sentence_tokens)).cast("int")
-    sent_idx = F.sequence(F.lit(0), n_sent - 1)
+    # the token array is bound as a lambda variable so the split runs once
+    # per document — F.slice(toks, ...) inside the per-sentence lambda would
+    # otherwise re-split the whole text per sentence (no CSE through lambda
+    # bodies; same pitfall as operators/dedup.shingles)
+    def spans_of(toks):
+        n_sent = F.ceil(F.size(toks) / F.lit(sentence_tokens)).cast("int")
+        sent_idx = F.sequence(F.lit(0), n_sent - 1)
 
-    sentence = lambda j: F.concat_ws(  # noqa: E731
-        " ", F.slice(toks, j * sentence_tokens + 1, sentence_tokens)
-    )
-    with_media = lambda j: (F.col("doc_id") * 31 + j) % 3 == 0  # noqa: E731
+        sentence = lambda j: F.concat_ws(  # noqa: E731
+            " ", F.slice(toks, j * sentence_tokens + 1, sentence_tokens)
+        )
+        with_media = lambda j: (F.col("doc_id") * 31 + j) % 3 == 0  # noqa: E731
 
-    spans = F.flatten(
-        F.transform(
-            sent_idx,
-            lambda j: F.when(
+        return F.flatten(
+            F.transform(
+                sent_idx,
+                lambda j: F.when(
                 with_media(j),
                 F.array(
                     F.struct(
@@ -240,8 +244,12 @@ def derive_documents(docs: DataFrame, sentence_tokens: int = 9) -> DataFrame:
                         (j * 100).cast("int").alias("offset"),
                     )
                 )
-            ),
+                ),
+            )
         )
+
+    spans = F.get(
+        F.transform(F.array(F.split(F.col("text"), " ")), spans_of), 0
     )
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans")

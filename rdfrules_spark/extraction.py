@@ -72,18 +72,29 @@ def extract_window3(documents: DataFrame, stride: int = 3) -> DataFrame:
     The middle token ``dup`` is the sameAs cue of this grammar (analog of the
     synthetic corpus's ``aka``).
     """
-    toks = F.split(F.col("span.text"), " ")
-    n_win = F.floor(F.size(toks) / stride).cast("int")
-    wins = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(n_win - 1, F.lit(-1))),
-            lambda i: F.struct(
-                F.get(toks, i * stride).alias("s_surf"),
-                F.get(toks, i * stride + 1).alias("p"),
-                F.get(toks, i * stride + 2).alias("o_surf"),
+    # the token array is bound as a lambda variable so the split runs once
+    # per span — F.get(toks, ...) inside the element lambda would otherwise
+    # re-split the whole span text per window position (no CSE through
+    # lambda bodies; same pitfall as operators/dedup.shingles)
+    def wins_of(toks):
+        n_win = F.floor(F.size(toks) / stride).cast("int")
+        return F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_win - 1, F.lit(-1))),
+                lambda i: F.struct(
+                    F.get(toks, i * stride).alias("s_surf"),
+                    F.get(toks, i * stride + 1).alias("p"),
+                    F.get(toks, i * stride + 2).alias("o_surf"),
+                ),
             ),
+            lambda w: w["o_surf"].isNotNull(),
+        )
+
+    wins = F.get(
+        F.transform(
+            F.array(F.split(F.col("span.text"), " ")), wins_of
         ),
-        lambda w: w["o_surf"].isNotNull(),
+        0,
     )
     return (
         documents.select(

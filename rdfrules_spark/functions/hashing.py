@@ -48,6 +48,16 @@ def hk(col: Column | str, i: int) -> Column:
     return (h60(col) % P * a + b) % P
 
 
+def hk_from_base(base_mod_p: Column, i: int) -> Column:
+    """i-th family member from an ALREADY-computed ``h60(x) % P`` column.
+
+    Identical value to :func:`hk`; use when k members are derived from one
+    input so the md5 base hash is computed once per row instead of k times
+    (Catalyst does not CSE expressions across separate aggregates)."""
+    a, b = _coeffs(i)
+    return (base_mod_p * a + b) % P
+
+
 def hk_sql(expr: str, i: int) -> str:
     a, b = _coeffs(i)
     return f"(({h60_sql(expr)} % {P}) * {a} + {b}) % {P}"

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rdfrules_spark.functions.hashing import P, h60, hk
+from rdfrules_spark.functions.hashing import P, h60, hk_from_base
 from rdfrules_spark.operators.textops import tokens
 
 #: default per-bucket membership cap for all LSH pair generators. 1000 keeps
@@ -79,20 +79,29 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 
 def shingles(text_col: str, n: int = 3) -> "F.Column":
-    """Word n-gram shingles of a text column (distinct, order-free set)."""
-    toks = tokens(text_col)
-    k = F.size(toks) - (n - 1)
-    return F.array_distinct(
-        F.when(
-            k > 0,
-            F.transform(
-                F.sequence(F.lit(0), k - 1),
-                lambda i: F.concat_ws(
-                    " ", *[F.get(toks, i + j) for j in range(n)]
+    """Word n-gram shingles of a text column (distinct, order-free set).
+
+    The token array is BOUND as a lambda variable (via a single-element
+    array transform) so the regex tokenization runs once per document:
+    Catalyst does not CSE expressions through lambda bodies, so the naive
+    form — ``F.get(tokens(text), i + j)`` inside the element lambda —
+    re-tokenizes the whole document for every shingle position
+    (O(len^2) per doc; measured 12.5 s -> 0.9 s on the sf0.1 corpus)."""
+    def from_toks(toks):
+        k = F.size(toks) - (n - 1)
+        return F.array_distinct(
+            F.when(
+                k > 0,
+                F.transform(
+                    F.sequence(F.lit(0), k - 1),
+                    lambda i: F.concat_ws(
+                        " ", *[F.get(toks, i + j) for j in range(n)]
+                    ),
                 ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
+            ).otherwise(F.array().cast("array<string>"))
+        )
+
+    return F.get(F.transform(F.array(tokens(text_col)), from_toks), 0)
 
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
@@ -102,8 +111,13 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, shingle_n)).alias("sh"),
-    )
-    aggs = [F.min(hk(F.col("sh"), i)).alias(f"mh_{i}") for i in range(num_hashes)]
+    ).select("id", (h60(F.col("sh")) % P).alias("_hp"))
+    # one md5 per shingle row, k affine variants of it — not k md5s
+    # (aggregate expressions are not CSE'd across each other)
+    aggs = [
+        F.min(hk_from_base(F.col("_hp"), i)).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
     return ex.groupBy("id").agg(*aggs)
 
 
@@ -214,17 +228,19 @@ SIMHASH_BITS = 48  # stays clear of bigint sign bit (ANSI overflow) and
 def simhash(text_col: str, bits: int = SIMHASH_BITS) -> "F.Column":
     """SimHash of the token stream: bit j of the result is the sign of
     sum over tokens of (+1 if bit j of h(token) else -1)."""
-    toks = tokens(text_col)
+    # hash each token ONCE (the 48 per-bit tests below would otherwise each
+    # recompute the md5 — higher-order lambdas are not CSE'd)
+    hashed = F.transform(tokens(text_col), lambda t: h60(t))
     # accumulate `bits` counters as an array<int>; JVM-side aggregate expr.
     # bit positions are unrolled as literals (shiftright requires a literal).
     counters = F.aggregate(
-        toks,
+        hashed,
         F.array_repeat(F.lit(0), bits),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
-                    F.when(F.shiftright(h60(t), j) % 2 == 1, 1).otherwise(-1)
+                    F.when(F.shiftright(h, j) % 2 == 1, 1).otherwise(-1)
                     for j in range(bits)
                 ]
             ),
