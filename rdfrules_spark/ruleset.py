@@ -98,17 +98,22 @@ def rule_similarity(
     )
 
 
-def dbscan_clusters(
-    rules: DataFrame,
-    min_similarity: float = 0.5,
-    min_neighbours: int = 1,
-    max_group: int = 500,
+def _dbscan_labels(
+    sims: DataFrame, min_similarity: float, min_neighbours: int
 ) -> DataFrame:
-    """rules + cluster id (reference Measure.Cluster). Noise = singleton."""
-    sims = rule_similarity(rules, max_group=max_group).where(
-        F.col("sim") >= min_similarity
+    """(node, label) cluster labels from a pairwise-similarity relation
+    (rid_a, rid_b, sim): epsilon-graph -> core points -> CC of the
+    core-core subgraph -> border points adopt a neighbouring core's label.
+    Nodes absent from the result are noise (callers give them singleton
+    ids)."""
+    # materialize the epsilon graph ONCE: the degree/core/border branches
+    # below would each re-run the quadratic pair-similarity join otherwise
+    # (the surviving edge set is tiny relative to the pair join)
+    edges = (
+        sims.where(F.col("sim") >= min_similarity)
+        .select(F.col("rid_a").alias("a"), F.col("rid_b").alias("b"))
+        .localCheckpoint(eager=True)
     )
-    edges = sims.select(F.col("rid_a").alias("a"), F.col("rid_b").alias("b"))
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -134,8 +139,153 @@ def dbscan_clusters(
         .groupBy("a").agg(F.min("label").alias("label"))
         .select(F.col("a").alias("node"), "label")
     )
-    labels = cc.unionByName(border)
+    return cc.unionByName(border)
+
+
+def dbscan_clusters(
+    rules: DataFrame,
+    min_similarity: float = 0.5,
+    min_neighbours: int = 1,
+    max_group: int = 500,
+) -> DataFrame:
+    """rules + cluster id (reference Measure.Cluster). Noise = singleton."""
+    sims = rule_similarity(rules, max_group=max_group)
+    labels = _dbscan_labels(sims, min_similarity, min_neighbours)
     out = rules.withColumn("rid", _rid()).join(
+        labels.withColumnRenamed("node", "rid"), "rid", "left"
+    )
+    return out.withColumn(
+        "cluster", F.coalesce(F.col("label"), F.col("rid"))
+    ).drop("label")
+
+
+# -- reference-exact AllAtoms similarity over resolved rules -----------------
+
+def _atom_sim(a: F.Column, b: F.Column) -> F.Column:
+    """atomsSimilarity (SimilarityCounting.scala:45-61) over two resolved
+    atom strings ('s|p|o', items '?v' or 'C=<const>'), range [0,3]:
+    psim (1 if same predicate) + per-position item similarity — same
+    predicate: var/var 1, var/const 0.5, const/const eq?1:0; different
+    predicate: const/const eq?1:0, anything else 0."""
+    pa, pb = F.split(a, r"\|", 3), F.split(b, r"\|", 3)
+    same_p = F.get(pa, 1) == F.get(pb, 1)
+
+    def item(x, y):
+        xc, yc = x.startswith("C="), y.startswith("C=")
+        ceq = F.when(x == y, F.lit(1.0)).otherwise(F.lit(0.0))
+        return F.when(
+            same_p,
+            F.when(~xc & ~yc, F.lit(1.0))
+            .when(xc & yc, ceq)
+            .otherwise(F.lit(0.5)),
+        ).otherwise(F.when(xc & yc, ceq).otherwise(F.lit(0.0)))
+
+    return (
+        F.when(same_p, F.lit(1.0)).otherwise(F.lit(0.0))
+        + item(F.get(pa, 0), F.get(pb, 0))
+        + item(F.get(pa, 2), F.get(pb, 2))
+    )
+
+
+#: bodies up to this many atoms are supported by all_atoms_similarity
+#: (injective assignments are unrolled; 3 covers maxRuleLength 4)
+MAX_SIM_BODY = 3
+
+
+def all_atoms_similarity(
+    head_a: F.Column, atoms_a: F.Column, head_b: F.Column, atoms_b: F.Column
+) -> F.Column:
+    """AllAtomsSimilarityCounting (SimilarityCounting.scala:41-110) as one
+    JVM-side column expression: head-atom similarity + the best injective
+    assignment of the shorter body's atoms onto the longer body's atoms,
+    normalized by 3 * (shorter rule length incl. head). Assignments are
+    unrolled for bodies up to MAX_SIM_BODY atoms."""
+    import itertools
+
+    na, nb = F.size(atoms_a), F.size(atoms_b)
+    main = F.when(na > nb, atoms_a).otherwise(atoms_b)
+    sec = F.when(na > nb, atoms_b).otherwise(atoms_a)
+    n_sec, n_main = F.least(na, nb), F.greatest(na, nb)
+
+    best = F.lit(0.0)
+    for m in range(1, MAX_SIM_BODY + 1):
+        for s in range(1, m + 1):
+            cands = [
+                sum(
+                    (_atom_sim(F.get(main, i), F.get(sec, j))
+                     for j, i in enumerate(perm)),
+                    start=F.lit(0.0),
+                )
+                for perm in itertools.permutations(range(m), s)
+            ]
+            c = F.greatest(*cands) if len(cands) > 1 else cands[0]
+            best = F.when((n_main == m) & (n_sec == s), c).otherwise(best)
+    return (best + _atom_sim(head_a, head_b)) / ((n_sec + 1) * 3)
+
+
+def _resolved_rid() -> F.Column:
+    return F.concat_ws(
+        "&", F.col("head"), F.concat_ws("^", F.col("atoms"))
+    )
+
+
+def resolved_rule_similarity(
+    rules: DataFrame, max_group: int = 500
+) -> DataFrame:
+    """Pairwise (rid_a, rid_b, sim) within head-predicate groups over the
+    resolved schema (head, atoms, head_coverage), using the reference's
+    exact AllAtoms similarity. Top ``max_group`` rules per group by head
+    coverage bound the quadratic pair join (the reference's own spec
+    clusters top-500 only, RulesetSpec.scala:86)."""
+    hp = F.get(F.split(F.col("head"), r"\|", 3), 1)
+    base = rules.select(
+        hp.alias("hp"), _resolved_rid().alias("rid"), "head", "atoms",
+        "head_coverage",
+    )
+    w = Window.partitionBy("hp").orderBy(F.desc("head_coverage"), "rid")
+    base = base.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") <= max_group
+    )
+    a = base.select(
+        "hp", F.col("rid").alias("rid_a"), F.col("head").alias("head_a"),
+        F.col("atoms").alias("atoms_a"),
+    )
+    b = base.select(
+        "hp", F.col("rid").alias("rid_b"), F.col("head").alias("head_b"),
+        F.col("atoms").alias("atoms_b"),
+    )
+    return (
+        a.join(b, "hp")
+        .where(F.col("rid_a") < F.col("rid_b"))
+        .select(
+            "rid_a", "rid_b",
+            all_atoms_similarity(
+                F.col("head_a"), F.col("atoms_a"),
+                F.col("head_b"), F.col("atoms_b"),
+            ).alias("sim"),
+        )
+    )
+
+
+def dbscan_clusters_resolved(
+    rules: DataFrame,
+    min_similarity: float = 0.9,
+    min_neighbours: int = 5,
+    max_group: int = 500,
+) -> DataFrame:
+    """makeClusters(DbScan()) with the reference's defaults
+    (DbScan.scala:86 minNeighbours=5 minSimilarity=0.9, Rule.scala:112
+    AllAtomsSimilarityCounting, grouped by head predicate) over resolved
+    (head, atoms) rules. Set-oriented epsilon-graph DBSCAN — cluster
+    MEMBERSHIP can differ from the reference's order-dependent greedy
+    expansion on border points, but core connectivity is identical; noise
+    points get singleton cluster ids."""
+    # materialize once: rules is usually a lazy mining DAG and is read by
+    # both pair-join sides, the degree/label graph, and the final join
+    rules = rules.localCheckpoint(eager=True)
+    sims = resolved_rule_similarity(rules, max_group)
+    labels = _dbscan_labels(sims, min_similarity, min_neighbours)
+    out = rules.withColumn("rid", _resolved_rid()).join(
         labels.withColumnRenamed("node", "rid"), "rid", "left"
     )
     return out.withColumn(

@@ -101,6 +101,29 @@ def test_reference_json_export_goldens(conf, tmp_path):
     assert got == orig
 
 
+def test_make_clusters_top500(conf):
+    """RulesetSpec.scala:85-92 'make clusters': sorted.take(500)
+    .makeClusters(DbScan()) keeps all 500 rules, attaches a cluster to
+    every rule, and produces > 30 distinct clusters. Reference defaults:
+    minNeighbours=5, minSimilarity=0.9 (DbScan.scala:86), AllAtoms
+    similarity (Rule.scala:112), grouped by head predicate
+    (Ruleset.scala:230-245). Our epsilon-graph DBSCAN is order-free, so
+    border-point membership can differ from the reference's greedy
+    expansion — the spec's own assertions are invariant to that."""
+    from pyspark.sql import functions as F
+
+    from rdfrules_spark.ruleset import dbscan_clusters_resolved
+
+    rules, _ = conf
+    top = rules.orderBy(
+        F.desc("head_coverage"), "head", "atoms"
+    ).limit(500)
+    out = dbscan_clusters_resolved(top).cache()
+    assert out.count() == 500
+    assert out.where(F.col("cluster").isNull()).count() == 0
+    assert out.select("cluster").distinct().count() > 30
+
+
 def test_pattern_filters_36_30(conf):
     """RulesetSpec.scala:135-147 'filter by patterns' on the lcs ruleset:
     body contains livesIn -> 36; union of (livesIn =>: hasCurrency) and
