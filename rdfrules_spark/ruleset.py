@@ -382,6 +382,30 @@ def find_similar(
     return sims.orderBy(order, "rid").limit(k)
 
 
+def find_similar_resolved(
+    rules: DataFrame,
+    head: str,
+    atoms: list[str],
+    k: int = 10,
+    dissimilar: bool = False,
+) -> DataFrame:
+    """Ruleset.findSimilar / findDissimilar (Ruleset.scala:247-268) over
+    resolved (head, atoms) rules with the reference's implicit AllAtoms
+    similarity (Rule.scala:112): a one-vs-all scan — no head-predicate
+    grouping, unlike makeClusters — ordered by similarity (ascending for
+    dissimilar), the target rule itself excluded. The target is a literal,
+    so this is a single narrow map over the ruleset + a top-k."""
+    target_head = F.lit(head)
+    target_atoms = F.array(*[F.lit(a) for a in atoms])
+    sim = all_atoms_similarity(
+        F.col("head"), F.col("atoms"), target_head, target_atoms
+    )
+    t_rid = head + "&" + "^".join(atoms)
+    out = rules.withColumn("sim", sim).where(_resolved_rid() != F.lit(t_rid))
+    order = F.asc("sim") if dissimilar else F.desc("sim")
+    return out.orderBy(order, _resolved_rid()).limit(k)
+
+
 def instantiate_rules(rules: DataFrame, triples: DataFrame) -> DataFrame:
     """InstantiatedRuleset (Ruleset.scala:222-224,
     prediction/Instantiation.scala:59-80): expand every rule to its concrete

@@ -124,6 +124,41 @@ def test_make_clusters_top500(conf):
     assert out.select("cluster").distinct().count() > 30
 
 
+def test_find_similar_dissimilar_top_rule(conf):
+    """RulesetSpec.scala:185-193: findSimilar(sorted.head, 10) rules all
+    contain created or directed (the top lcs rule is
+    (?a directed ?b) <- (?a created ?b)); findDissimilar's 'contains
+    noneOf' is tie-order-dependent in the reference (hundreds of rules tie
+    at similarity 0 and its pick is iteration order), so we pin the
+    order-free invariant instead: all 10 dissimilar rules score exactly
+    0."""
+    from pyspark.sql import functions as F
+
+    from rdfrules_spark.ruleset import find_similar_resolved
+
+    rules, _ = conf
+    top = rules.orderBy(
+        F.desc("head_coverage"), "head", "atoms"
+    ).limit(1).collect()[0]
+    assert top["head"] == "?a|directed|?b"
+    assert list(top["atoms"]) == ["?a|created|?b"]
+
+    sim10 = find_similar_resolved(
+        rules, top["head"], list(top["atoms"]), 10
+    ).collect()
+    assert len(sim10) == 10
+    for r in sim10:
+        preds = {a.split("|")[1] for a in [r["head"], *r["atoms"]]}
+        assert preds & {"created", "directed"}
+        assert r["sim"] >= 0.5
+
+    dis10 = find_similar_resolved(
+        rules, top["head"], list(top["atoms"]), 10, dissimilar=True
+    ).collect()
+    assert len(dis10) == 10
+    assert all(r["sim"] == 0.0 for r in dis10)
+
+
 def test_pattern_filters_36_30(conf):
     """RulesetSpec.scala:135-147 'filter by patterns' on the lcs ruleset:
     body contains livesIn -> 36; union of (livesIn =>: hasCurrency) and
