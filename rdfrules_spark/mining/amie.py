@@ -75,6 +75,14 @@ class MiningParams:
     #: a deterministic SAMPLE of head triples and scale supports by
     #: 1/fraction (supportIncreaseRatio). Approximate by design; None = exact.
     head_sample_fraction: float | None = None
+    #: Spec switch for L4+ shape construction (tools/refexec/README.md):
+    #: False = published spec (the AmieSpec maxLen-4 golden of 98 rules,
+    #: which excludes shapes needing two simultaneously-open extra
+    #: danglings); True = executable spec (the reference snapshot's
+    #: FreshAtomGenerator.scala:117-123 bounds open danglings only by
+    #: maxDanglingVariables = floor(2*maxLen/3), admitting e.g. ac-bd-cd at
+    #: L4 — 139 rules on yago, set-verified in tests/test_refexec_parity).
+    multi_open_danglings: bool = False
 
 
 def _b(triples: DataFrame) -> DataFrame:

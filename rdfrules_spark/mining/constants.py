@@ -191,11 +191,56 @@ def mine_constants(
     params: MiningParams | None = None,
     constants: str = "anywhere",
     constants_for_predicates: dict | None = None,
+    quasi_binding: bool = False,
 ) -> DataFrame:
     """Complete closed-rule set (lengths 2..max_rule_length, constants per
     `constants` policy) INCLUDING the constant-free shapes, as canonical
-    (head, atoms) rows. `triples` must be distinct (s,p,o)."""
+    (head, atoms) rows. `triples` must be distinct (s,p,o).
+
+    ``quasi_binding`` selects the spec (see tools/refexec/README.md):
+
+    * False (default, "published" spec): distinct-triple support counting,
+      no generation-time quasi-binding pruning — reproduces the literal
+      goldens committed in the reference's own test suite (211,527 /
+      74,993 / 11,013 ...).
+    * True ("executable" spec): matches the reference snapshot AS EXECUTED
+      (its current source applies a QuasiBindingFilter at every refinement
+      step, RuleRefinement.scala:175 + RuleFilter.scala:334, and counts
+      support plainly) — set-level verified against the executed
+      reference's dumps in tests/test_refexec_parity.py (47,901 / 42,509 /
+      29,878 / 5,851 / 689 rules).
+
+    The generation-time filter (a fresh constant-bearing atom must admit
+    >= 2 distinct bindings of its variable over the PARENT BODY + itself,
+    head excluded) is order-dependent in the reference's BFS; a rule
+    survives iff SOME generation order admits it. Because support is
+    monotone under body extension the prefix-threshold part of every order
+    is automatic, so the existential collapses to one declarative law per
+    shape:
+
+      s4 {VV, CA}:   alone(CA) >= 2   (order CA-first needs only this, and
+                                       joint(CA|VV) <= alone(CA))
+      s5 {CAa, CAb}: alone(CAa) and alone(CAb)  (the two atoms share no
+                                       variable, so the joint count
+                                       factorizes through a cross product)
+      s6 {CA}:       alone(CA) >= 2   (parent body is empty)
+      s8 {VV, CA}:   joint(CA | VV on the shared ?c) >= 2  (CA-first is not
+                                       generable: its variable would be
+                                       fresh, and fresh atoms must share a
+                                       variable with the rule)
+      s9 {CA1, CA2}: joint(CA1 ⋈ CA2 on the shared free var) >= 2  (each
+                                       order requires alone(first) and the
+                                       same joint, and joint <= alone)
+
+    where alone(CA) = #distinct KG bindings of CA's variable and joint =
+    the same count restricted by the other body atom."""
     params = params or MiningParams()
+    ndt = not quasi_binding  # distinct-triple support law (published spec)
+
+    def _ndt(cond):
+        """Triple-identity inequality — active only in the published spec
+        (the executed reference counts support plainly)."""
+        return cond if ndt else F.lit(True)
     if params.only_predicates is not None:
         triples = triples.where(F.col("p").isin(params.only_predicates))
     if params.without_predicates is not None:
@@ -206,6 +251,20 @@ def mine_constants(
 
     b = _b(triples).withColumn("tid", _btid())
     ca = _catoms(triples, constants, constants_for_predicates)
+    if quasi_binding:
+        # alone(CA) >= 2: the atom's variable takes >= 2 distinct KG
+        # bindings. One map-side-combined aggregation over CA; the ok-set
+        # is ~|distinct (p, const)| rows, semi-joined (AQE picks broadcast
+        # when it fits — no forced broadcast, the set scales with the KG).
+        ca_ok = (
+            ca.groupBy("q2", "cst", "e")
+            .agg(F.countDistinct("x").alias("_nx"))
+            .where(F.col("_nx") >= 2)
+            .select("q2", "cst", "e")
+        )
+        ca_alone = ca.join(ca_ok, ["q2", "cst", "e"], "left_semi")
+    else:
+        ca_alone = ca
     h0 = triples.join(F.broadcast(heads.select("p")), "p").select(
         "p", F.col("s").alias("a"), F.col("o").alias("bb"),
         F.xxhash64("s", "p", "o").alias("htid"),
@@ -219,7 +278,7 @@ def mine_constants(
     m = h0.join(
         b, (F.col("a") == F.col("x")) & (F.col("bb") == F.col("y"))
     ).where((F.col("q") != F.col("p")) | (F.col("d") != "f")).where(
-        F.col("tid") != F.col("htid")
+        _ndt(F.col("tid") != F.col("htid"))
     ).select("p", "a", "bb", "q", "d", "tid", "htid")
     l2 = m.groupBy("p", "q", "d").agg(F.count(F.lit(1)).alias("support"))
     results.append(_finish(
@@ -246,7 +305,7 @@ def mine_constants(
         pairs = ms.join(m2, ["p", "a", "bb"]).where(
             (F.col("q") < F.col("r"))
             | ((F.col("q") == F.col("r")) & (F.col("d") < F.col("d2")))
-        ).where(F.col("tid") != F.col("tid2"))
+        ).where(_ndt(F.col("tid") != F.col("tid2")))
         l3v2 = pairs.groupBy("p", "q", "d", "r", "d2").agg(
             F.count(F.lit(1)).alias("support")
         )
@@ -263,7 +322,7 @@ def mine_constants(
         b1 = b.select(F.col("x").alias("a"), F.col("y").alias("c"),
                       "q", F.col("d").alias("d1"),
                       F.col("tid").alias("tid1"))
-        dang_a = h0.join(b1, "a").where(F.col("tid1") != F.col("htid"))
+        dang_a = h0.join(b1, "a").where(_ndt(F.col("tid1") != F.col("htid")))
         da_s = dang_a.groupBy("p", "q", "d1").agg(
             F.countDistinct("a", "bb").alias("support")
         ).join(F.broadcast(heads), "p").where(
@@ -277,8 +336,8 @@ def mine_constants(
         j3 = (
             dang_a.join(F.broadcast(da_s), ["p", "q", "d1"], "left_semi")
             .join(b2, ["bb", "c"])
-            .where((F.col("tid2") != F.col("htid"))
-                   & (F.col("tid1") != F.col("tid2")))
+            .where(_ndt((F.col("tid2") != F.col("htid"))
+                        & (F.col("tid1") != F.col("tid2"))))
         )
         l3v3 = j3.groupBy("p", "q", "d1", "r", "d2").agg(
             F.countDistinct("a", "bb").alias("support")
@@ -295,12 +354,35 @@ def mine_constants(
             # S4: {VV(a,b), CAtom on a or b} — gated by l2 survivors
             for role, key in (("?a", "a"), ("?b", "bb")):
                 j = ms.join(ca, ms[key] == ca["x"]).where(
-                    (F.col("ctid") != F.col("htid"))
-                    & (F.col("ctid") != F.col("tid"))
+                    _ndt((F.col("ctid") != F.col("htid"))
+                         & (F.col("ctid") != F.col("tid")))
                 )
                 agg = j.groupBy("p", "q", "d", "q2", "cst", "e").agg(
                     F.countDistinct("a", "bb").alias("support")
                 )
+                if quasi_binding:
+                    # joint(CA | VV on the shared head var) >= 2 over the
+                    # BODY alone. The VV-first order is the ONLY generation
+                    # order for this shape: fresh atoms are emitted in
+                    # non-decreasing var-pair order, and the head pair
+                    # (a,b) cannot follow the CA's (a,c)/(b,c) pair
+                    # (FreshAtomGenerator.scala:96-104) — so the joint
+                    # count is the law, not alone(CA).
+                    bx = b.select(
+                        F.col("x").alias("_va"), F.col("y").alias("_vb"),
+                        "q", "d",
+                    )
+                    s4_ok = (
+                        bx.join(ca, bx["_va" if key == "a" else "_vb"]
+                                == ca["x"])
+                        .groupBy("q", "d", "q2", "cst", "e")
+                        .agg(F.countDistinct("x").alias("_nj"))
+                        .where(F.col("_nj") >= 2)
+                        .select("q", "d", "q2", "cst", "e")
+                    )
+                    agg = agg.join(
+                        s4_ok, ["q", "d", "q2", "cst", "e"], "left_semi"
+                    )
                 results.append(_finish(
                     agg, heads, params, head0,
                     F.array_sort(F.array(
@@ -311,8 +393,8 @@ def mine_constants(
 
             # S5: {CAtom(a), CAtom(b)} — gated by the instantiated-dangling
             # prefix (a p b) <- CAtom(a) survivors
-            ia = h0.join(ca, h0["a"] == ca["x"]).where(
-                F.col("ctid") != F.col("htid")
+            ia = h0.join(ca_alone, h0["a"] == ca_alone["x"]).where(
+                _ndt(F.col("ctid") != F.col("htid"))
             ).select(
                 "p", "a", "bb", "htid",
                 F.col("q2").alias("qa"), F.col("cst").alias("csta"),
@@ -327,9 +409,9 @@ def mine_constants(
             ).select("p", "qa", "csta", "ea")
             s5 = (
                 ia.join(ia_s, ["p", "qa", "csta", "ea"], "left_semi")
-                .join(ca, F.col("bb") == ca["x"])
-                .where((F.col("ctid") != F.col("htid"))
-                       & (F.col("ctid") != F.col("ctida")))
+                .join(ca_alone, F.col("bb") == ca_alone["x"])
+                .where(_ndt((F.col("ctid") != F.col("htid"))
+                            & (F.col("ctid") != F.col("ctida"))))
                 .groupBy("p", "qa", "csta", "ea", "q2", "cst", "e")
                 .agg(F.countDistinct("a", "bb").alias("support"))
             )
@@ -405,8 +487,8 @@ def mine_constants(
             )
 
             # S6: one CAtom on the free var (also the gate for S9)
-            ihca = ih.join(ca, ih["f"] == ca["x"]).where(not_head_atom).where(
-                F.col("ctid") != F.col("htid")
+            ihca = ih.join(ca_alone, ih["f"] == ca_alone["x"]).where(not_head_atom).where(
+                _ndt(F.col("ctid") != F.col("htid"))
             ).select("p", "A", "f", "q2", "cst", "e", "ctid", "htid")
             s6 = ihca.groupBy("p", "A", "q2", "cst", "e").agg(
                 F.countDistinct("f").alias("support")
@@ -426,7 +508,7 @@ def mine_constants(
 
                 # dangling prefix (head) <- VV(f, c) — gate for S7/S8
                 ihb = ih.join(b, ih["f"] == b["x"]).where(
-                    F.col("tid") != F.col("htid")
+                    _ndt(F.col("tid") != F.col("htid"))
                 ).select(
                     "p", "A", "f", F.col("y").alias("c"), "q", "d",
                     "tid", "htid",
@@ -449,7 +531,7 @@ def mine_constants(
                 p7 = ihb_s.join(ihb2, ["p", "A", "f", "c"]).where(
                     (F.col("q") < F.col("r"))
                     | ((F.col("q") == F.col("r")) & (F.col("d") < F.col("d2")))
-                ).where(F.col("tid") != F.col("tid2"))
+                ).where(_ndt(F.col("tid") != F.col("tid2")))
                 s7 = p7.groupBy("p", "A", "q", "d", "r", "d2").agg(
                     F.countDistinct("f").alias("support")
                 )
@@ -464,11 +546,26 @@ def mine_constants(
                 # S8: {VV(f,c), CAtom(c)}
                 s8 = (
                     ihb_s.join(ca, F.col("c") == ca["x"])
-                    .where((F.col("ctid") != F.col("htid"))
-                           & (F.col("ctid") != F.col("tid")))
+                    .where(_ndt((F.col("ctid") != F.col("htid"))
+                                & (F.col("ctid") != F.col("tid"))))
                     .groupBy("p", "A", "q", "d", "q2", "cst", "e")
                     .agg(F.countDistinct("f").alias("support"))
                 )
+                if quasi_binding:
+                    # joint(CA | VV on ?c) >= 2 over the BODY alone: the
+                    # CA-first order cannot generate this shape, so the
+                    # only order's filter is the joint count.
+                    s8_ok = (
+                        b.select(F.col("y").alias("c"), "q", "d")
+                        .join(ca, F.col("c") == ca["x"])
+                        .groupBy("q", "d", "q2", "cst", "e")
+                        .agg(F.countDistinct("c").alias("_nc"))
+                        .where(F.col("_nc") >= 2)
+                        .select("q", "d", "q2", "cst", "e")
+                    )
+                    s8 = s8.join(
+                        s8_ok, ["q", "d", "q2", "cst", "e"], "left_semi"
+                    )
                 results.append(_finish(
                     s8, heads, params, head_i,
                     F.array_sort(F.array(
@@ -489,10 +586,30 @@ def mine_constants(
                 s9 = (
                     r1.join(r2, ["p", "A", "f"])
                     .where(F.col("a1") < F.col("a2"))
-                    .where(F.col("ctid1") != F.col("ctid2"))
+                    .where(_ndt(F.col("ctid1") != F.col("ctid2")))
                     .groupBy("p", "A", "a1", "a2")
                     .agg(F.countDistinct("f").alias("support"))
                 )
+                if quasi_binding:
+                    # joint(CA1 ⋈ CA2 on the shared var) >= 2, body-only
+                    # (every generation order requires this same joint and
+                    # it implies alone() for both atoms). Atom identity via
+                    # the same canonical strings as the candidate rows, so
+                    # the semi-join keys line up under either fvar.
+                    k1 = _ca_str(fvar, ca["q2"], ca["cst"], ca["e"])
+                    cak = ca.select("x", k1.alias("k"))
+                    s9_ok = (
+                        cak.join(
+                            cak.select(
+                                "x", F.col("k").alias("k2")), "x")
+                        .where(F.col("k") < F.col("k2"))
+                        .groupBy("k", "k2")
+                        .agg(F.countDistinct("x").alias("_nf"))
+                        .where(F.col("_nf") >= 2)
+                        .select(F.col("k").alias("a1"),
+                                F.col("k2").alias("a2"))
+                    )
+                    s9 = s9.join(s9_ok, ["a1", "a2"], "left_semi")
                 results.append(_finish(
                     s9, heads, params, head_i,
                     F.array(F.col("a1"), F.col("a2")), "s9",

@@ -124,7 +124,9 @@ def shape_name(pairs: tuple) -> str:
     return "-".join(u + v for u, v in pairs)
 
 
-def shape_reachable(pairs: tuple, max_rule_length: int) -> bool:
+def shape_reachable(
+    pairs: tuple, max_rule_length: int, multi_open_danglings: bool = False
+) -> bool:
     """Is the shape constructible under the reference's refinement
     discipline? (FreshAtomGenerator.scala:96-166 + the empirically pinned
     at-most-one-open-extra-dangling law — see mining/refsim.py.)
@@ -155,7 +157,14 @@ def shape_reachable(pairs: tuple, max_rule_length: int) -> bool:
                 ok = False  # violates introduction-order naming
                 break
             opens = u == next_dangling or v == next_dangling
-            if opens and any(d >= 2 for d in danglings):
+            if (
+                not multi_open_danglings
+                and opens
+                and any(d >= 2 for d in danglings)
+            ):
+                # published-spec law only: the executed reference bounds
+                # open danglings solely by max_danglings below
+                # (FreshAtomGenerator.scala:117-123)
                 ok = False
                 break
             if danglings:  # dangling-rule checks
@@ -392,7 +401,10 @@ def mine_upto(triples: DataFrame, params: MiningParams | None = None) -> DataFra
     out = None
     for k in range(1, params.max_rule_length):
         for pairs in enumerate_shapes(k):
-            if not shape_reachable(pairs, params.max_rule_length):
+            if not shape_reachable(
+                pairs, params.max_rule_length,
+                params.multi_open_danglings,
+            ):
                 continue
             if (
                 params.timeout_s is not None

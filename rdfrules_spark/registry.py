@@ -2006,6 +2006,62 @@ def q_mine_constants_l2_object(spark, sf_dir):
     )
 
 
+@register(
+    "mine_constants_l2_qb",
+    f"""
+    with {_MINE_BASE_SQL},
+    l2 as (select t.p, b.q, b.d as d1, count(*) as support
+           from t join b on t.s = b.x and t.o = b.y
+           where (b.q <> t.p or b.d <> 'f')
+           group by t.p, b.q, b.d),
+    l2r as (select concat('?a|', l2.p, '|?b') as head, l2.p,
+                   case when d1 = 'f' then concat('?a|', q, '|?b')
+                        else concat('?b|', q, '|?a') end as body,
+                   support, heads.head_size
+            from l2 join heads on l2.p = heads.p
+            where support >= 3 and support / heads.head_size >= 0.04),
+    ih as (select p, o as A, s as f from t
+           where p in (select p from heads)),
+    ca as (select s as x, p as q2, o as cst from t),
+    ca_ok as (select q2, cst from ca group by q2, cst
+              having count(distinct x) >= 2),
+    s6 as (select ih.p, ih.A, ca.q2, ca.cst,
+                  count(distinct ih.f) as support
+           from ih join ca on ca.x = ih.f
+           join ca_ok on ca.q2 = ca_ok.q2 and ca.cst = ca_ok.cst
+           where not (ca.q2 = ih.p and ca.cst = ih.A)
+           group by ih.p, ih.A, ca.q2, ca.cst),
+    s6r as (select concat('?a|', s6.p, '|C=', s6.A) as head, s6.p,
+                   concat('?a|', q2, '|C=', cst) as body,
+                   support, heads.head_size
+            from s6 join heads on s6.p = heads.p
+            where support >= 3 and support / heads.head_size >= 0.04)
+    select head, body, support, head_size,
+           support / head_size as head_coverage
+    from (select * from l2r union all select * from s6r)
+    """,
+)
+def q_mine_constants_l2_qb(spark, sf_dir):
+    """Executable-spec L2 constants mining: plain support counting + the
+    generation-time QuasiBindingFilter (RuleRefinement.scala:175,
+    RuleFilter.scala:334 — an instantiated fresh atom must admit >= 2
+    distinct bindings of its variable). Set-verified against the executed
+    reference snapshot in tests/test_refexec_parity.py; this entry keeps
+    the law under the independent DuckDB oracle too."""
+    from rdfrules_spark.mining.amie import MiningParams
+    from rdfrules_spark.mining.constants import mine_constants
+
+    t = _kg_triples_df(spark, sf_dir)
+    params = MiningParams(min_head_size=50, min_support=3,
+                          min_head_coverage=0.04, max_rule_length=2)
+    out = mine_constants(t, params, constants="object", quasi_binding=True)
+    return out.select(
+        "head",
+        F.array_join(F.array_sort("atoms"), ";").alias("body"),
+        "support", "head_size", "head_coverage",
+    )
+
+
 # --------------------------------------------------------------------------
 # Round-2 additions: graph split, rule instantiation, rule lattice,
 # NonRedundantTopRules aggregator, auto-discretization

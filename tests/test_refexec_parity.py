@@ -1,0 +1,216 @@
+"""Set-level parity against the EXECUTED reference snapshot.
+
+tools/refexec compiles the reference core offline (dependency stubs, no
+copying) and dumps full mined rule sets; the gzipped dumps live in
+tests/fixtures/refexec/. These tests pin rule-for-rule equality — rule
+sets, supports, head sizes — between those dumps and
+
+  * the reference-order simulator (mining/refsim.py, variant A:
+    plain support counting + generation-time QuasiBindingFilter), and
+  * the Spark miners in "executable" spec mode
+    (mine_constants(quasi_binding=True) and
+    mine_upto(multi_open_danglings=True)).
+
+Background (tools/refexec/README.md): every constants-bearing golden in
+the reference's committed test suite is stale against its own source — the
+executed snapshot applies a QuasiBindingFilter at each refinement step
+(RuleRefinement.scala:175, RuleFilter.scala:334) and admits multiple open
+danglings at L4+ (FreshAtomGenerator.scala:117-123). The published-spec
+goldens (211,527 / 74,993 / 11,013 / 98 ...) remain pinned by the default
+mode in test_constants_mining.py / test_l4_mining.py; this file pins the
+executable spec: 47,901 / 42,509 / 29,878 / 5,851 / 689 constants rules
+and 139 (L4) / 465 (L5) var-only rules on yago.tsv.
+"""
+
+from __future__ import annotations
+
+import gzip
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdfrules_spark.mining.amie import MiningParams
+from rdfrules_spark.mining.constants import mine_constants
+from rdfrules_spark.mining.refsim import Rule, SimParams, mine_reference_order
+from rdfrules_spark.mining.shapes import mine_upto
+
+YAGO = "/root/reference/core/src/test/resources/yago.tsv"
+FIXTURES = "/root/repo/tests/fixtures/refexec"
+ATOM = re.compile(r"^\(\s*(\S+)\s+(.+?)\s+(\S+)\s*\)$")
+VARMAP = {"?a": 0, "?b": 1, "?c": 2, "?d": 3, "?e": 4, "?f": 5}
+VARID = {"a": 0, "b": 1, "c": 2, "d": 3, "e": 4}
+
+
+def _dump_term(x: str):
+    if x in VARMAP:
+        return VARMAP[x]
+    # the resolver prints <rawvalue> and yago.tsv raw values keep <...>
+    return ("c", x[1:-1])
+
+
+def _dump_atom(s: str):
+    m = ATOM.match(s.strip())
+    assert m, s
+    su, p, o = m.groups()
+    return (_dump_term(su), p[1:-1], _dump_term(o))
+
+
+def load_dump(name: str) -> dict:
+    """Dump line -> {renaming-invariant rule id: (support, head_size)}."""
+    out = {}
+    with gzip.open(f"{FIXTURES}/{name}.tsv.gz", "rt", encoding="utf-8") as f:
+        for line in f:
+            head, _, body, sup, hs, _hc = line.rstrip("\n").split("\t")
+            r = Rule(
+                head=_dump_atom(head),
+                body=tuple(_dump_atom(a) for a in body.split(" ^ ")),
+                danglings=(), max_variable=9,
+            )
+            out[r.canon()] = (int(sup), int(hs))
+    assert out
+    return out
+
+
+def _miner_term(x: str):
+    if x.startswith("?"):
+        return VARMAP[x]
+    assert x.startswith("C=")
+    return ("c", x[2:])
+
+
+def _miner_atom(s: str):
+    su, p, o = s.split("|")
+    return (_miner_term(su), p, _miner_term(o))
+
+
+def _miner_rule(head: str, atoms) -> Rule:
+    """Build a refsim Rule from miner strings, renumbering so a lone head
+    variable is 0 (the dump convention; Rule.canon assumes it)."""
+    h = _miner_atom(head)
+    body = tuple(_miner_atom(a) for a in atoms)
+    hv = {x for x in (h[0], h[2]) if isinstance(x, int)}
+    if hv == {1}:  # instantiated head: the miner names the free var ?b
+        sub = lambda x: {1: 0, 2: 1}.get(x, x) if isinstance(x, int) else x
+        h = (sub(h[0]), h[1], sub(h[2]))
+        body = tuple((sub(a[0]), a[1], sub(a[2])) for a in body)
+    return Rule(head=h, body=body, danglings=(), max_variable=9)
+
+
+def load_yago_triples():
+    triples = set()
+    with open(YAGO, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").rstrip(".").split("\t")
+            if len(parts) == 3:
+                triples.add(tuple(x.strip() for x in parts))
+    return sorted(triples)
+
+
+def yago_df(spark):
+    return (
+        spark.read.option("sep", "\t").csv(YAGO)
+        .select(
+            F.col("_c0").alias("s"), F.col("_c1").alias("p"),
+            F.regexp_replace(F.col("_c2"), r"\s*\.$", "").alias("o"),
+        )
+        .dropDuplicates()
+    )
+
+
+def _compare(got: dict, dump: dict, label: str):
+    only_dump = set(dump) - set(got)
+    only_got = set(got) - set(dump)
+    assert not only_dump and not only_got, (
+        f"{label}: {len(only_dump)} rules only in the reference dump, "
+        f"{len(only_got)} only in ours; e.g. "
+        f"{list(only_dump)[:2]} / {list(only_got)[:2]}"
+    )
+    mism = {k: (got[k], dump[k]) for k in dump if got[k] != dump[k]}
+    assert not mism, f"{label}: value mismatches {list(mism.items())[:3]}"
+
+
+def test_refsim_variant_a_matches_executed_reference():
+    """The reference-order simulator with plain supports + the faithful
+    QuasiBindingFilter (variant A) equals the executed reference
+    rule-for-rule on the LCS constants config."""
+    rules = mine_reference_order(
+        load_yago_triples(),
+        SimParams(
+            min_head_size=100, min_support=1, min_head_coverage=0.02,
+            with_duplicate_predicates=False, constants_position="lower",
+            ndt=False, quasi=True,
+        ),
+    )
+    got = {r.canon(): (r.support, r.head_size) for r in rules}
+    _compare(got, load_dump("nodup_constlcs_002"), "refsim lcs02")
+
+
+SPARK_CFGS = [
+    # (dump, minHC, dup predicates, constants policy)
+    ("nodup_constlcs_002", 0.02, False, "lcs"),
+    ("nodup_constants_002", 0.02, False, "anywhere"),
+    ("nodup_constobj_001", 0.01, False, "object"),
+    ("dup_constants", 0.02, True, "anywhere"),
+]
+
+
+@pytest.mark.parametrize("dump_name,min_hc,dup,constants", SPARK_CFGS)
+def test_spark_quasi_binding_matches_executed_reference(
+    spark, dump_name, min_hc, dup, constants
+):
+    params = MiningParams(
+        min_head_size=100, min_support=1, min_head_coverage=min_hc,
+        with_duplicate_predicates=dup,
+    )
+    rows = (
+        mine_constants(yago_df(spark), params, constants=constants,
+                       quasi_binding=True)
+        .select("head", "atoms", "support", "head_size")
+        .collect()
+    )
+    got = {}
+    for r in rows:
+        rule = _miner_rule(r["head"], r["atoms"])
+        got[rule.canon()] = (r["support"], r["head_size"])
+    _compare(got, load_dump(dump_name), dump_name)
+
+
+@pytest.mark.parametrize("maxlen,dump_name", [(4, "nodup_novar_l4")])
+def test_spark_multi_open_danglings_matches_executed_reference(
+    spark, maxlen, dump_name
+):
+    """L4 var-only at the executable spec: 139 = the stale 98 golden plus
+    the 41 ac-bd-cd path-shape rules (L5 = 465, same law, checked in the
+    slow battery tools/refexec)."""
+    params = MiningParams(
+        min_head_size=100, min_support=1, min_head_coverage=0.01,
+        with_duplicate_predicates=False, max_rule_length=maxlen,
+        multi_open_danglings=True,
+    )
+    rows = mine_upto(yago_df(spark), params).collect()
+    got = {}
+    for r in rows:
+        body = []
+        for slot in r["body"].split(";"):
+            uv, q, d = slot.split(" ")
+            u, v = VARID[uv[0]], VARID[uv[1]]
+            body.append((u, q, v) if d == "f" else (v, q, u))
+        rule = Rule(head=(0, r["p"], 1), body=tuple(body), danglings=(),
+                    max_variable=9)
+        got[rule.canon()] = (r["support"], r["head_size"])
+    _compare(got, load_dump(dump_name), dump_name)
+
+
+def test_published_spec_unchanged(spark):
+    """quasi_binding=False keeps the published-spec behavior byte-for-byte:
+    the LCS config still yields the pre-filter rule set (7,595 rules at
+    minHC 0.01, the ConsumersSpec golden also pinned in
+    test_constants_mining) — spot-checked here via count to keep this file
+    self-contained."""
+    params = MiningParams(
+        min_head_size=100, min_support=1, min_head_coverage=0.01,
+        with_duplicate_predicates=False,
+    )
+    n = mine_constants(yago_df(spark), params, constants="lcs").count()
+    assert n == 7595
