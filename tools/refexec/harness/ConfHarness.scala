@@ -53,10 +53,13 @@ object ConfHarness {
         val support = r.measures.get[Measure.Support].map(_.value).getOrElse(-1)
         val headSize = r.measures.get[Measure.HeadSize].map(_.value).getOrElse(-1)
 
-        val cwaInj = r.withCwaConfidence(0.0, true)
-        val cwaPlain = r.withCwaConfidence(0.0, false)
-        val pcaInj = r.withPcaConfidence(0.0, true)
-        val pcaPlain = r.withPcaConfidence(0.0, false)
+        // pass the 0.001 floor EXPLICITLY: withCwaConfidence's sub-0.001
+        // fallback (RuleCounting.scala:71-72) forwards `allPaths` into the
+        // injectiveMapping parameter, silently dropping injectivity.
+        val cwaInj = r.withCwaConfidence(0.001, true)
+        val cwaPlain = r.withCwaConfidence(0.001, false)
+        val pcaInj = r.withPcaConfidence(0.001, true)
+        val pcaPlain = r.withPcaConfidence(0.001, false)
         val qpcaInj = r.withQpcaConfidence(0.001, true)
         val qpcaPlain = r.withQpcaConfidence(0.001, false)
         val liftR = cwaInj.withLift(DefaultConfidence(Measure.CwaConfidence))
