@@ -54,18 +54,25 @@ def _null_safe_join(left: DataFrame, right: DataFrame, keys: list[str], how="inn
 
 
 def predict_triples(
-    rules: DataFrame, triples: DataFrame, conf_col: str = "cwa_confidence"
+    rules: DataFrame, triples: DataFrame, conf_col: str = "cwa_confidence",
+    injective: bool = False, only_covered: bool = False,
 ) -> DataFrame:
     """Candidate triples from every rule: (s, p, o, <rule key>, conf, result).
 
     `rules` must carry RULE_KEY + `conf_col`; `triples` is the distinct
     (s, p, o) relation the bodies bind against (train KG).
+
+    ``injective``: pairwise-distinct variable bindings, the reference
+    Ruleset.predict default (injectiveMapping=true, Ruleset.scala:226).
+    ``only_covered``: keep only predictions whose head-predicate subject OR
+    object occurs in the (test) triple set — onlyTestCoveredPredictions
+    with test == train (Prediction.scala:62-76 isInTest pairFilter).
     """
     t = triples.select("s", "p", "o")
     preds = None
     for shape in ("l2", "l3v2", "l3v3"):
         shaped = rules.where(F.col("shape") == shape)
-        pairs = body_pairs(t, shaped, shape)  # (q,d1,r,d2,a,b) distinct
+        pairs = body_pairs(t, shaped, shape, injective=injective)
         rs = shaped.select(*RULE_KEY, F.col(conf_col).alias("conf"))
         cand = _null_safe_join(
             pairs, rs, ["q", "d1", "r", "d2"]
@@ -95,6 +102,11 @@ def predict_triples(
         .join(subs.withColumnRenamed("e", "s"), ["p", "s"], "left")
         .join(objs.withColumnRenamed("e", "o"), ["p", "o"], "left")
     )
+    if only_covered:
+        out = out.where(
+            F.coalesce(F.col("_se"), F.lit(False))
+            | F.coalesce(F.col("_oe"), F.lit(False))
+        )
     head_entity_known = F.when(
         F.col("hc_side") == "subject", F.coalesce(F.col("_se"), F.lit(False))
     ).otherwise(F.coalesce(F.col("_oe"), F.lit(False)))
