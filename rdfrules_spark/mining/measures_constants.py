@@ -405,3 +405,285 @@ def confidences_constants(
     ).withColumn(
         "pca_confidence", F.col("support") / F.col("pca_body_size")
     )
+
+
+def qpca_constants(
+    rules: DataFrame, triples: DataFrame, injective: bool = False
+) -> DataFrame:
+    """Attach qpca_body_size + qpca_confidence to every canonical rule row
+    (all 9 shapes) — RuleCounting.scala:298-380 re-expressed declaratively.
+
+    QPCA counts the body's distinct predicted head triples but caps
+    NEGATIVE examples per entity at the head predicate's
+    higherCardinalitySide by that entity's remaining cardinality budget
+    (avg_card - ecard, floored at 0); positives always count. The
+    reference's sequential loop is order-independent, so per rule this is
+    one aggregation over the predicted-binding relation:
+
+      qpca_body_size = sum over entities of
+        pos_e + max(0, neg_e - max(0, avg_card - ecard_e))
+
+    The entity is the value at the higher-cardinality position of the
+    predicted triple (for instantiated heads whose constant occupies that
+    side, every prediction shares the head constant's single budget —
+    incrementNegatives, RuleCounting.scala:334-355).
+
+    Scale note: s5 materializes the per-rule entity-set product (the
+    reference enumerates the same bindings); every other shape's relation
+    is linear in the matching triples. Value-verified per rule against the
+    executed reference in tests/test_refexec_confidences.py.
+    """
+    t = triples.select("s", "p", "o")
+    E = _ents(t)
+    side = _side(t)
+    b = _b_rel(t)
+    R = _parsed(_with_rid(rules)).join(F.broadcast(side), "p").localCheckpoint(
+        eager=True
+    )
+    present = {r["shape"] for r in R.select("shape").distinct().collect()}
+    outs = []
+
+    # ---- budget inputs (shared) ----
+    scard = t.groupBy("p", F.col("s").alias("ent")).agg(
+        F.countDistinct("o").alias("ecard")
+    ).withColumn("eside", F.lit("s"))
+    ocard = t.groupBy("p", F.col("o").alias("ent")).agg(
+        F.countDistinct("s").alias("ecard")
+    ).withColumn("eside", F.lit("o"))
+    ecards = scard.unionByName(ocard)
+    avg_c = t.groupBy("p").agg(
+        F.round(F.count(F.lit(1)) / F.countDistinct("s")).cast("long")
+        .alias("avg_s"),
+        F.round(F.count(F.lit(1)) / F.countDistinct("o")).cast("long")
+        .alias("avg_o"),
+    ).join(side, "p").select(
+        "p",
+        F.when(F.col("hside") == "s", F.col("avg_s"))
+        .otherwise(F.col("avg_o")).alias("avg_card"),
+    )
+    known = t.withColumn("_pos", F.lit(True))
+
+    def budget(preds):
+        """preds: (rid, p, hside, s, o) distinct predicted head triples.
+        Returns (rid, qpca_body_size)."""
+        tagged = preds.join(known, ["s", "p", "o"], "left").withColumn(
+            "_pos", F.coalesce(F.col("_pos"), F.lit(False))
+        ).withColumn(
+            "ent",
+            F.when(F.col("hside") == "s", F.col("s")).otherwise(F.col("o")),
+        ).withColumn("eside", F.col("hside"))
+        per_ent = tagged.groupBy("rid", "p", "eside", "ent").agg(
+            F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("pos"),
+            F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("neg"),
+        )
+        return (
+            per_ent.join(ecards, ["p", "eside", "ent"], "left")
+            .withColumn("ecard", F.coalesce(F.col("ecard"), F.lit(0)))
+            .join(F.broadcast(avg_c), "p")
+            .withColumn(
+                "counted",
+                F.col("pos") + F.greatest(
+                    F.lit(0),
+                    F.col("neg") - F.greatest(
+                        F.lit(0), F.col("avg_card") - F.col("ecard")
+                    ),
+                ),
+            )
+            .groupBy("rid")
+            .agg(F.sum("counted").alias("qpca_body_size"))
+        )
+
+    def finish(shaped, sizes):
+        outs.append(
+            shaped.join(sizes, "rid", "left").select(
+                "rid", "head", "p", "atoms", "shape", "support",
+                "head_size", "head_coverage", "qpca_body_size",
+            )
+        )
+
+    # ---- var-only shapes: delegate to measures.qpca_confidence (counts
+    # once per combo, not per rule) ----
+    if present & {"l2", "l3v2", "l3v3"}:
+        from rdfrules_spark.mining.measures import qpca_confidence
+
+        vvshaped = R.where(F.col("shape").isin("l2", "l3v2", "l3v3"))
+
+        def _d(atom, primary):
+            return F.when(atom["s"] == primary, "f").otherwise("i")
+
+        a_atom = F.filter(
+            "_vv", lambda a: (a["s"] == "?a") | (a["o"] == "?a")
+        )[0]
+        b_atom = F.filter(
+            "_vv", lambda a: (a["s"] == "?b") | (a["o"] == "?b")
+        )[0]
+        comp = vvshaped.select(
+            "rid", "p", "shape", "support", "head_size", "head_coverage",
+            F.when(F.col("shape") == "l3v3", a_atom["q"])
+            .otherwise(F.col("_vv")[0]["q"]).alias("q"),
+            F.when(F.col("shape") == "l3v3", _d(a_atom, F.lit("?a")))
+            .otherwise(_d(F.col("_vv")[0], F.lit("?a"))).alias("d1"),
+            F.when(F.col("shape") == "l3v3", b_atom["q"])
+            .when(F.col("shape") == "l3v2", F.col("_vv")[1]["q"])
+            .otherwise(F.lit(None)).alias("r"),
+            F.when(F.col("shape") == "l3v3", _d(b_atom, F.lit("?b")))
+            .when(F.col("shape") == "l3v2", _d(F.col("_vv")[1], F.lit("?a")))
+            .otherwise(F.lit(None)).alias("d2"),
+        )
+        sizes = qpca_confidence(
+            comp.localCheckpoint(eager=True), t, injective=injective
+        ).select("rid", "qpca_body_size")
+        finish(vvshaped, sizes)
+
+    # ---- s4: {VV(a,b), CAtom(a|b)} ----
+    if "s4" in present:
+        s4 = R.where(F.col("shape") == "s4").select(
+            "rid", "p", "hside",
+            *_vv_cols(F.col("_vv")[0], F.lit("?a"), "a1"),
+            *_ca_cols(F.col("_inst")[0], "c1"),
+        )
+        j = s4.join(
+            b.select(F.col("q").alias("a1q"), F.col("d").alias("a1d"),
+                     F.col("x").alias("va"), F.col("y").alias("vb")),
+            ["a1q", "a1d"],
+        ).join(
+            E.select(F.col("q2").alias("c1q2"), F.col("cst").alias("c1cst"),
+                     F.col("e").alias("c1e"), F.col("x").alias("cx")),
+            ["c1q2", "c1cst", "c1e"],
+        ).where(
+            F.col("cx") == F.when(F.col("c1u") == "?a", F.col("va"))
+            .otherwise(F.col("vb"))
+        )
+        if injective:
+            j = j.where(F.col("va") != F.col("vb"))
+        preds4 = j.select(
+            "rid", "p", "hside", F.col("va").alias("s"),
+            F.col("vb").alias("o"),
+        ).distinct()
+        finish(R.where(F.col("shape") == "s4"), budget(preds4))
+
+    # ---- s5: {CAtom(a), CAtom(b)}: entity-set product ----
+    if "s5" in present:
+        s5 = R.where(F.col("shape") == "s5").select(
+            "rid", "p", "hside",
+            *_ca_cols(F.col("_inst")[0], "c1"),
+            *_ca_cols(F.col("_inst")[1], "c2"),
+        )
+        # c1 binds ?a, c2 binds ?b (canonical atom order pins c1 to the
+        # ?a side in the miner's output); derive per-atom sides robustly
+        a_is_c1 = F.col("c1u") == "?a"
+        e1 = s5.join(
+            E.select(F.col("q2").alias("c1q2"), F.col("cst").alias("c1cst"),
+                     F.col("e").alias("c1e"), F.col("x").alias("v1")),
+            ["c1q2", "c1cst", "c1e"],
+        )
+        e12 = e1.join(
+            E.select(F.col("q2").alias("c2q2"), F.col("cst").alias("c2cst"),
+                     F.col("e").alias("c2e"), F.col("x").alias("v2")),
+            ["c2q2", "c2cst", "c2e"],
+        )
+        preds5 = e12.select(
+            "rid", "p", "hside",
+            F.when(a_is_c1, F.col("v1")).otherwise(F.col("v2")).alias("s"),
+            F.when(a_is_c1, F.col("v2")).otherwise(F.col("v1")).alias("o"),
+        )
+        if injective:
+            preds5 = preds5.where(F.col("s") != F.col("o"))
+        finish(R.where(F.col("shape") == "s5"), budget(preds5.distinct()))
+
+    # ---- instantiated-head shapes ----
+    Ri = _head_var_pos(R)
+    # head string "?a|p|C=<X>" or "C=<X>|p|?b": strip the "C=" prefix
+    head_const = F.when(
+        F.col("fvpos") == "s",
+        F.expr("substring(split(head, '\\\\|')[2], 3)"),
+    ).otherwise(F.expr("substring(split(head, '\\\\|')[0], 3)"))
+
+    def inst_preds(shape, bindings):
+        """bindings: (rid, v) distinct free-var bindings -> predicted
+        triples with the head constant on its side."""
+        shaped = Ri.where(F.col("shape") == shape)
+        meta = shaped.select("rid", "p", "hside", "fvpos",
+                             head_const.alias("hc"))
+        bd = bindings.join(meta, "rid")
+        preds = bd.select(
+            "rid", "p", "hside",
+            F.when(F.col("fvpos") == "s", F.col("v"))
+            .otherwise(F.col("hc")).alias("s"),
+            F.when(F.col("fvpos") == "s", F.col("hc"))
+            .otherwise(F.col("v")).alias("o"),
+        )
+        finish(shaped, budget(preds))
+
+    if "s6" in present:
+        s6 = Ri.where(F.col("shape") == "s6").select(
+            "rid", *_ca_cols(F.col("_inst")[0], "c1")
+        )
+        b6 = s6.join(
+            E.select(F.col("q2").alias("c1q2"), F.col("cst").alias("c1cst"),
+                     F.col("e").alias("c1e"), F.col("x").alias("v")),
+            ["c1q2", "c1cst", "c1e"],
+        ).select("rid", "v").distinct()
+        inst_preds("s6", b6)
+
+    if "s9" in present:
+        s9 = Ri.where(F.col("shape") == "s9").select(
+            "rid", *_ca_cols(F.col("_inst")[0], "c1"),
+            *_ca_cols(F.col("_inst")[1], "c2"),
+        )
+        b9 = s9.join(
+            E.select(F.col("q2").alias("c1q2"), F.col("cst").alias("c1cst"),
+                     F.col("e").alias("c1e"), F.col("x").alias("v")),
+            ["c1q2", "c1cst", "c1e"],
+        ).join(
+            E.select(F.col("q2").alias("c2q2"), F.col("cst").alias("c2cst"),
+                     F.col("e").alias("c2e"), F.col("x").alias("v")),
+            ["c2q2", "c2cst", "c2e", "v"],
+        ).select("rid", "v").distinct()
+        inst_preds("s9", b9)
+
+    fvar = F.when(_split(F.col("head"), 0).startswith("?"), "?a").otherwise("?b")
+    for shape in ("s7", "s8"):
+        if shape not in present:
+            continue
+        shaped = Ri.where(F.col("shape") == shape)
+        comp = shaped.select(
+            "rid", fvar.alias("_fv"),
+            *_vv_cols(F.col("_vv")[0], fvar, "a1"),
+            *(
+                _vv_cols(F.col("_vv")[1], fvar, "a2")
+                if shape == "s7"
+                else _ca_cols(F.col("_inst")[0], "c1")
+            ),
+        )
+        j1 = comp.join(
+            b.select(F.col("q").alias("a1q"), F.col("d").alias("a1d"),
+                     F.col("x").alias("v"), F.col("y").alias("vc")),
+            ["a1q", "a1d"],
+        )
+        if shape == "s7":
+            jj = j1.join(
+                b.select(F.col("q").alias("a2q"), F.col("d").alias("a2d"),
+                         F.col("x").alias("v"), F.col("y").alias("vc")),
+                ["a2q", "a2d", "v", "vc"],
+            )
+        else:
+            jj = j1.join(
+                E.select(F.col("q2").alias("c1q2"),
+                         F.col("cst").alias("c1cst"),
+                         F.col("e").alias("c1e"), F.col("x").alias("vc")),
+                ["c1q2", "c1cst", "c1e", "vc"],
+            )
+        if injective:
+            jj = jj.where(F.col("v") != F.col("vc"))
+        inst_preds(shape, jj.select("rid", "v").distinct())
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.withColumn(
+        "qpca_confidence",
+        F.when(
+            F.coalesce(F.col("qpca_body_size"), F.lit(0)) == 0, F.lit(0.0)
+        ).otherwise(F.col("support") / F.col("qpca_body_size")),
+    )

@@ -25,7 +25,10 @@ from pyspark.sql import functions as F
 from rdfrules_spark.mining.amie import MiningParams, mine
 from rdfrules_spark.mining.constants import mine_constants
 from rdfrules_spark.mining.measures import confidences, lift, qpca_confidence
-from rdfrules_spark.mining.measures_constants import confidences_constants
+from rdfrules_spark.mining.measures_constants import (
+    confidences_constants,
+    qpca_constants,
+)
 from rdfrules_spark.mining.refsim import Rule
 
 from test_refexec_parity import (  # reuse the dump/miner canon helpers
@@ -168,8 +171,8 @@ def test_var_only_confidence_values(spark):
 def test_constants_confidence_values(spark):
     """The executed-spec LCS ruleset (4,203 rules incl. all 9 constants
     shapes): the Spark miner reproduces it exactly (an extra config beyond
-    test_refexec_parity) and CWA/PCA confidences (injective + plain) match
-    value-for-value."""
+    test_refexec_parity) and CWA/PCA/QPCA confidences (injective + plain)
+    match value-for-value."""
     dump = load_conf_dump("conf_lcs_001")
     t = _yago(spark).cache()
     params = MiningParams(min_head_size=100, min_support=1,
@@ -194,6 +197,10 @@ def test_constants_confidence_values(spark):
         confidences_constants(rules, t, injective=False),
         ["body_size", "pca_body_size"],
     )
+    qi = collect(qpca_constants(rules, t, injective=True),
+                 ["qpca_confidence"])
+    qp = collect(qpca_constants(rules, t, injective=False),
+                 ["qpca_confidence"])
     assert set(ci) == set(dump)
     errs: list = []
     for k, (sup, hs, ref) in dump.items():
@@ -210,6 +217,10 @@ def test_constants_confidence_values(spark):
                errs)
         _check(k, conf(cp[k], "pca_body_size"), ref["pca_plain"],
                "pca_plain", errs)
+        _check(k, qi[k]["qpca_confidence"], ref["qpca_inj"], "qpca_inj",
+               errs)
+        _check(k, qp[k]["qpca_confidence"], ref["qpca_plain"], "qpca_plain",
+               errs)
     t.unpersist()
     rules.unpersist()
     assert not errs, f"{len(errs)} value mismatches, e.g. {errs[:5]}"
