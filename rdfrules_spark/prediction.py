@@ -56,6 +56,7 @@ def _null_safe_join(left: DataFrame, right: DataFrame, keys: list[str], how="inn
 def predict_triples(
     rules: DataFrame, triples: DataFrame, conf_col: str = "cwa_confidence",
     injective: bool = False, only_covered: bool = False,
+    covered: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate triples from every rule: (s, p, o, <rule key>, conf, result).
 
@@ -65,8 +66,10 @@ def predict_triples(
     ``injective``: pairwise-distinct variable bindings, the reference
     Ruleset.predict default (injectiveMapping=true, Ruleset.scala:226).
     ``only_covered``: keep only predictions whose head-predicate subject OR
-    object occurs in the (test) triple set — onlyTestCoveredPredictions
-    with test == train (Prediction.scala:62-76 isInTest pairFilter).
+    object occurs in the covered triple set — onlyTestCoveredPredictions
+    (Prediction.scala:62-76 isInTest pairFilter). ``covered`` selects that
+    set (the TEST split in a train/test evaluation); default = `triples`
+    itself (test == train).
     """
     t = triples.select("s", "p", "o")
     preds = None
@@ -103,10 +106,25 @@ def predict_triples(
         .join(objs.withColumnRenamed("e", "o"), ["p", "o"], "left")
     )
     if only_covered:
-        out = out.where(
-            F.coalesce(F.col("_se"), F.lit(False))
-            | F.coalesce(F.col("_oe"), F.lit(False))
-        )
+        if covered is not None:
+            csubs = covered.select("p", F.col("s").alias("s")).distinct() \
+                .withColumn("_cse", F.lit(True))
+            cobjs = covered.select("p", F.col("o").alias("o")).distinct() \
+                .withColumn("_coe", F.lit(True))
+            out = (
+                out.join(csubs, ["p", "s"], "left")
+                .join(cobjs, ["p", "o"], "left")
+                .where(
+                    F.coalesce(F.col("_cse"), F.lit(False))
+                    | F.coalesce(F.col("_coe"), F.lit(False))
+                )
+                .drop("_cse", "_coe")
+            )
+        else:
+            out = out.where(
+                F.coalesce(F.col("_se"), F.lit(False))
+                | F.coalesce(F.col("_oe"), F.lit(False))
+            )
     head_entity_known = F.when(
         F.col("hc_side") == "subject", F.coalesce(F.col("_se"), F.lit(False))
     ).otherwise(F.coalesce(F.col("_oe"), F.lit(False)))
