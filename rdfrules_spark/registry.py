@@ -1504,6 +1504,81 @@ def q_multigraph_l2_rules(spark, sf_dir):
 
 
 @register(
+    "graph_aware_atom_sets",
+    f"""
+    with {_KG_W_SQL},
+    t0 as (select distinct concat('w:', s_surf) as s, p, concat('w:', o_surf) as o
+           from w where p <> 'dup'),
+    quads as (select s, p, o,
+                     case when {h60_sql("s")} % 2 = 0 then 'g0' else 'g1' end as g
+              from t0),
+    t as (select distinct s, p, o from quads),
+    top as (select p, o, count(*) as c from t group by p, o
+            order by c desc, p, o limit 20),
+    kp as (select p, list_sort(list(distinct g)) as gs from quads group by p),
+    ko as (select p, o, list_sort(list(distinct g)) as gs
+           from quads group by p, o),
+    ks as (select p, s, list_sort(list(distinct g)) as gs
+           from quads group by p, s)
+    select head, pos, graphs from (
+      select concat('?a|', t.p, '|C=', t.o) as head, 0 as pos,
+             array_to_string(ko.gs, ',') as graphs
+      from top t join ko on ko.p = t.p and ko.o = t.o
+      union all
+      select concat('?a|', t.p, '|C=', t.o), 1, array_to_string(kp.gs, ',')
+      from top t join kp on kp.p = t.p
+      union all
+      select concat('?a|', t.p, '|C=', t.o), 2,
+             coalesce(array_to_string(ks.gs, ','), '')
+      from top t left join ks on ks.p = t.p and ks.s = t.o
+    )
+    """,
+)
+def q_graph_aware_atom_sets(spark, sf_dir):
+    """Position-restricted per-atom graph sets (Atom.toGraphAwareAtom,
+    rule/Atom.scala:34-43) over instantiated rules: for the 20 most frequent
+    (p, object) pairs of the two-graph KG, a rule ?a p C=o <= ?a p ?b ^
+    C=o p ?b gets, per atom, the graph set of (p restricted to Object(o)) /
+    (p alone) / (p restricted to Subject(o)) — flattened to one row per
+    atom position for the oracle."""
+    from rdfrules_spark.functions.hashing import h60
+    from rdfrules_spark.mining.multigraph import graph_aware_atoms
+
+    quads = _kg_triples_df(spark, sf_dir).withColumn(
+        "g",
+        F.when(h60(F.col("s")) % 2 == 0, "g0").otherwise("g1"),
+    )
+    top = (
+        quads.select("s", "p", "o").distinct()
+        .groupBy("p", "o").count()
+        .orderBy(F.desc("count"), "p", "o").limit(20)
+    )
+    rules = top.select(
+        F.concat_ws(
+            "|", F.lit("?a"), F.col("p"), F.concat(F.lit("C="), F.col("o"))
+        ).alias("head"),
+        F.array(
+            F.concat_ws("|", F.lit("?a"), F.col("p"), F.lit("?b")),
+            F.concat_ws(
+                "|", F.concat(F.lit("C="), F.col("o")), F.col("p"),
+                F.lit("?b"),
+            ),
+        ).alias("atoms"),
+    )
+    out = graph_aware_atoms(rules, quads)
+    return out.select(
+        "head",
+        F.posexplode(
+            F.concat(F.array(F.col("head_graphs")), F.col("atom_graphs"))
+        ).alias("pos", "_g"),
+    ).select(
+        "head",
+        F.col("pos").cast("int").alias("pos"),
+        F.coalesce(F.concat_ws(",", "_g"), F.lit("")).alias("graphs"),
+    )
+
+
+@register(
     "mine_l2_cwa_confidence",
     f"""
     with {_MINE_BASE_SQL},

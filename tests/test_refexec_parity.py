@@ -214,3 +214,132 @@ def test_published_spec_unchanged(spark):
     )
     n = mine_constants(yago_df(spark), params, constants="lcs").count()
     assert n == 7595
+
+
+# ---------------------------------------------------------------------------
+# Two-graph (multigraph) parity vs the EXECUTED reference.
+#
+# The reference's own two-graph fixture (dbpedia.ttl, AmieSpec.scala:401-438)
+# is stripped from the snapshot, so tools/refexec/make_graph2.py derives a
+# deterministic second graph from yago.tsv itself (parallel / shared /
+# inverted predicates; see its docstring) and MineHarness --graph2
+# --graphaware mines the named two-graph union and dumps every rule with
+# PER-ATOM GRAPH SETS (Ruleset.graphAwareRules -> Atom.toGraphAwareAtom,
+# including the position-restricted sets for instantiated atoms:
+# getGraphs(p, Subject/Object(c)), Atom.scala:34-43).
+#
+# mg_novar     = var-only  L<=3, nodup, minHC 0.01  (139 rules)
+# mg_constobj  = object constants, nodup, minHC 0.02 (4,567 rules)
+# ---------------------------------------------------------------------------
+
+GA_ATOM = re.compile(r"^\((\S+) (\S+) (.+?) (<[^<>\[\]]+>|\[[^\]]*\])\)$")
+
+
+def _ga_graphs(part: str) -> tuple:
+    if part.startswith("["):
+        inner = part[1:-1]
+        names = [x.strip()[1:-1] for x in inner.split(",")]
+    else:
+        names = [part[1:-1]]
+    return tuple(sorted(names))
+
+
+def _ga_atom(s: str):
+    m = GA_ATOM.match(s.strip())
+    assert m, s
+    su, p, o, graphs = m.groups()
+    return (_dump_term(su), p[1:-1], _dump_term(o)), _ga_graphs(graphs)
+
+
+def _sig(atom):
+    s, p, o = atom
+    return ("v" if isinstance(s, int) else s, p,
+            "v" if isinstance(o, int) else o)
+
+
+def load_ga_dump(name: str) -> dict:
+    """{canon: (support, head_size, frozenset((atom sig, graphs)))}."""
+    out = {}
+    with gzip.open(f"{FIXTURES}/{name}.tsv.gz", "rt", encoding="utf-8") as f:
+        for line in f:
+            head, _, body, sup, hs, _hc = line.rstrip("\n").split("\t")
+            h, hg = _ga_atom(head)
+            atoms, sigs = [], {(_sig(h), hg)}
+            for a in body.split(" ^ "):
+                at, g = _ga_atom(a)
+                atoms.append(at)
+                sigs.add((_sig(at), g))
+            r = Rule(head=h, body=tuple(atoms), danglings=(), max_variable=9)
+            out[r.canon()] = (int(sup), int(hs), frozenset(sigs))
+    assert out
+    return out
+
+
+def quads_df(spark):
+    """yago + the derived second graph as named quads."""
+    g2 = spark.read.option("sep", "\t").csv(
+        f"{FIXTURES}/graph2.tsv.gz"
+    ).select(
+        F.col("_c0").alias("s"), F.col("_c1").alias("p"),
+        F.regexp_replace(F.col("_c2"), r"\s*\.$", "").alias("o"),
+        F.lit("dbpedia").alias("g"),
+    )
+    return yago_df(spark).withColumn("g", F.lit("yago")).unionByName(g2)
+
+
+def test_multigraph_varonly_matches_executed_reference(spark):
+    from rdfrules_spark.mining.multigraph import (
+        predicate_graphs,
+        quads_triples,
+    )
+
+    quads = quads_df(spark)
+    pg = {
+        r["p"]: tuple(r["graphs"])
+        for r in predicate_graphs(quads).collect()
+    }
+    params = MiningParams(
+        min_head_size=100, min_support=1, min_head_coverage=0.01,
+        with_duplicate_predicates=False, max_rule_length=3,
+    )
+    got = {}
+    for r in mine_upto(quads_triples(quads), params).collect():
+        body = []
+        for slot in r["body"].split(";"):
+            uv, q, d = slot.split(" ")
+            u, v = VARID[uv[0]], VARID[uv[1]]
+            body.append((u, q, v) if d == "f" else (v, q, u))
+        rule = Rule(head=(0, r["p"], 1), body=tuple(body), danglings=(),
+                    max_variable=9)
+        sigs = frozenset(
+            (_sig(a), pg[a[1]]) for a in [rule.head, *rule.body]
+        )
+        got[rule.canon()] = (r["support"], r["head_size"], sigs)
+    _compare(got, load_ga_dump("mg_novar"), "mg_novar")
+
+
+def test_multigraph_constobj_matches_executed_reference(spark):
+    from rdfrules_spark.mining.multigraph import (
+        graph_aware_atoms,
+        quads_triples,
+    )
+
+    quads = quads_df(spark)
+    params = MiningParams(
+        min_head_size=100, min_support=1, min_head_coverage=0.02,
+        with_duplicate_predicates=False,
+    )
+    rules = mine_constants(
+        quads_triples(quads), params, constants="object", quasi_binding=True
+    )
+    rows = graph_aware_atoms(rules, quads).select(
+        "head", "atoms", "support", "head_size", "head_graphs", "atom_graphs"
+    ).collect()
+    got = {}
+    for r in rows:
+        rule = _miner_rule(r["head"], r["atoms"])
+        sigs = {(_sig(_miner_atom(r["head"])), tuple(sorted(r["head_graphs"])))}
+        for a, g in zip(r["atoms"], r["atom_graphs"]):
+            sigs.add((_sig(_miner_atom(a)), tuple(sorted(g))))
+        got[rule.canon()] = (r["support"], r["head_size"], frozenset(sigs))
+    _compare(got, load_ga_dump("mg_constobj"), "mg_constobj")

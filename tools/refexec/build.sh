@@ -18,12 +18,22 @@ cd "$(dirname "$0")"
 
 REF_SRC=${REF_SRC:-/root/reference/core/src/main/scala}
 OUT=${OUT:-/tmp/refexec_out}
-CP="$CC/scala-compiler/2.13.17/scala-compiler-2.13.17.jar:$CC/scala-library/2.13.17/scala-library-2.13.17.jar:$CC/scala-reflect/2.13.17/scala-reflect-2.13.17.jar"
+# Locate the Scala 2.13 jars in whatever local cache this machine has
+# (coursier/ivy/maven layouts all work) — no network, no fixed mirror path.
+_find_jar() {
+  { find ~/.cache/coursier ~/.ivy2 ~/.m2 -name "$1-2.13*.jar" 2>/dev/null || true; } | sort | tail -1
+}
+SCALA_COMPILER=$(_find_jar scala-compiler)
+SCALA_LIBRARY=$(_find_jar scala-library)
+SCALA_REFLECT=$(_find_jar scala-reflect)
+[ -n "$SCALA_COMPILER" ] && [ -n "$SCALA_LIBRARY" ] && [ -n "$SCALA_REFLECT" ] || {
+  echo "scala 2.13 jars not found in local caches" >&2; exit 1; }
+CP="$SCALA_COMPILER:$SCALA_LIBRARY:$SCALA_REFLECT"
 
 mkdir -p "$OUT"
 java -Xmx4g -cp "$CP" scala.tools.nsc.Main -usejavacp -nowarn -d "$OUT" \
   $(find stubs harness "$REF_SRC" -name "*.scala")
 echo "compiled to $OUT"
 echo "run e.g.:"
-echo "  java -Xmx24g -cp $OUT:$CC/scala-library/2.13.17/scala-library-2.13.17.jar \\"
+echo "  java -Xmx24g -cp $OUT:$SCALA_LIBRARY \\"
 echo "    MineHarness /root/reference/core/src/test/resources/yago.tsv 0.02 /tmp/rules.tsv"

@@ -18,8 +18,17 @@ object MineHarness {
     val minHc = args(1).toDouble
     val outPath = args(2)
     val withoutDupPredicates = args.contains("--nodup")
+    // --graph2=PATH: named two-graph dataset (yago + dbpedia), the
+    // AmieSpec.scala:401-438 shape; --graphaware: resolve every mined
+    // rule's atoms as GraphAware (Ruleset.graphAwareRules,
+    // Ruleset.scala:160-170) so the dump carries per-atom graph sets.
+    val graph2 = args.collectFirst { case a if a.startsWith("--graph2=") => a.stripPrefix("--graph2=") }
+    val graphAware = args.contains("--graphaware")
 
-    val dataset = Dataset(dataFile)
+    val dataset = graph2 match {
+      case Some(path2) => Dataset() + Graph("yago", dataFile) + Graph("dbpedia", new File(path2))
+      case None => Dataset(dataFile)
+    }
     Debugger() { implicit debugger =>
       val index = IndexPart.apply(dataset, false)
       var amie = Amie().addThreshold(Threshold.MinHeadCoverage(minHc))
@@ -44,7 +53,8 @@ object MineHarness {
       val ms = (System.nanoTime() - t0) / 1e6
       System.err.println(s"rules: ${rules.size} in $ms ms")
       val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(new java.io.FileOutputStream(outPath), java.nio.charset.StandardCharsets.UTF_8))
-      for (r <- rules) {
+      for (r0 <- rules) {
+        val r = if (graphAware) r0.withContent(r0.head.toGraphAwareAtom, r0.body.map(_.toGraphAwareAtom)) else r0
         val rr: ResolvedRule = ResolvedRule(r)
         val support = r.measures.get[Measure.Support].map(_.value).getOrElse(-1)
         val headSize = r.measures.get[Measure.HeadSize].map(_.value).getOrElse(-1)
