@@ -45,12 +45,23 @@ class AtomPattern:
     """Pattern for one atom; item patterns: None/ANY (anything),
     ANY_VARIABLE, ANY_CONSTANT, '?x' (concrete variable), 'C=<v>'
     (concrete constant). predicate: None, a string, OneOf list, or
-    NoneOf via `predicate_none_of`."""
+    NoneOf via `predicate_none_of`.
+
+    ``graph`` / ``graph_none_of`` (AtomPattern(graph=...),
+    MappedAtomPatternMatcher.scala:35-48): a graph pattern matches iff the
+    atom's graph set CONTAINS the named graph (Constant/OneOf), or contains
+    none of them (NoneOf) — the atom's graph set is the set of graphs its
+    predicate occurs in (Atom.toGraphAwareAtom; predicate-level — pass
+    `predicate_graphs` to filter_rules). Executed-reference-verified on a
+    two-graph union incl. a shared predicate, which distinguishes
+    contains- from only-semantics (tests/test_refexec_parity.py)."""
 
     predicate: str | list | None = None
     predicate_none_of: list | None = field(default=None)
     subject: str | None = None
     object: str | None = None
+    graph: str | list | None = None
+    graph_none_of: list | None = field(default=None)
 
 
 def normalize_vars(head_col: Column, atoms_col: Column) -> tuple[Column, Column]:
@@ -80,7 +91,9 @@ def _term_match(term: Column, pat: str | None) -> Column:
     return term == F.lit(pat)
 
 
-def _atom_match(atom: Column, p: AtomPattern) -> Column:
+def _atom_match(
+    atom: Column, p: AtomPattern, pg_map: Column | None = None
+) -> Column:
     s = F.split(atom, "\\|")[0]
     q = F.split(atom, "\\|")[1]
     o = F.split(atom, "\\|")[2]
@@ -92,6 +105,29 @@ def _atom_match(atom: Column, p: AtomPattern) -> Column:
             cond = cond & (q == F.lit(p.predicate))
     if p.predicate_none_of:
         cond = cond & ~q.isin(list(p.predicate_none_of))
+    if p.graph is not None or p.graph_none_of:
+        if pg_map is None:
+            raise ValueError(
+                "graph patterns need filter_rules(predicate_graphs=...)"
+            )
+        graphs = F.try_element_at(pg_map, q)
+        if p.graph is not None:
+            one_of = (
+                list(p.graph)
+                if isinstance(p.graph, (list, tuple))
+                else [p.graph]
+            )
+            any_in = F.lit(False)
+            for g in one_of:
+                any_in = any_in | F.coalesce(
+                    F.array_contains(graphs, g), F.lit(False)
+                )
+            cond = cond & any_in
+        if p.graph_none_of:
+            for g in p.graph_none_of:
+                cond = cond & ~F.coalesce(
+                    F.array_contains(graphs, g), F.lit(False)
+                )
     cond = cond & _term_match(s, p.subject) & _term_match(o, p.object)
     return cond
 
@@ -113,6 +149,7 @@ def filter_rules(
     orderless: bool = False,
     head_col: str = "head",
     atoms_col: str = "atoms",
+    predicate_graphs: dict | None = None,
 ) -> DataFrame:
     """Keep rules matching the pattern (see module docstring for exact
     semantics and golden pinning).
@@ -121,23 +158,40 @@ def filter_rules(
     pattern atoms may match ANY body atom — the default (gradual) mode
     additionally requires a matched atom in the head-adjacent position,
     mirroring the reference's level-by-level pattern matching during
-    refinement (PatternsSpec orderless-partial golden: 129 vs 18 gradual)."""
+    refinement (PatternsSpec orderless-partial golden: 129 vs 18 gradual).
+
+    ``predicate_graphs``: {predicate: [graph, ...]} (collect
+    multigraph.predicate_graphs — broadcast-sized at any corpus scale),
+    required when any pattern uses graph / graph_none_of."""
     if isinstance(body, AtomPattern):
         body = [body]
     body = body or []
+    pg_map = None
+    if predicate_graphs is not None:
+        entries = [
+            F.struct(
+                F.lit(p).alias("k"),
+                F.array(*[F.lit(g) for g in gs]).alias("v"),
+            )
+            for p, gs in sorted(predicate_graphs.items())
+        ]
+        pg_map = F.map_from_entries(F.array(*entries))
     h, a = normalize_vars(F.col(head_col), F.col(atoms_col))
     out = rules.withColumn("_h", h).withColumn("_a", a)
     cond = F.lit(True)
     if head is not None:
-        cond = cond & _atom_match(F.col("_h"), head)
+        cond = cond & _atom_match(F.col("_h"), head, pg_map)
     if len(body) == 1:
         p = body[0]
         if orderless:
-            cond = cond & F.exists(F.col("_a"), lambda x: _atom_match(x, p))
+            cond = cond & F.exists(
+                F.col("_a"), lambda x: _atom_match(x, p, pg_map)
+            )
         else:
             cond = cond & F.exists(
                 F.col("_a"),
-                lambda x: _atom_match(x, p) & _head_connected(x, F.col("_h")),
+                lambda x: _atom_match(x, p, pg_map)
+                & _head_connected(x, F.col("_h")),
             )
     elif len(body) == 2:
         p1, p2 = body
@@ -147,7 +201,7 @@ def filter_rules(
         def pair(i, j):
             # F.get: null (not ANSI error) when the body has < 2 atoms
             ai, aj = F.get(F.col("_a"), i), F.get(F.col("_a"), j)
-            m = _atom_match(ai, p1) & _atom_match(aj, p2)
+            m = _atom_match(ai, p1, pg_map) & _atom_match(aj, p2, pg_map)
             if not orderless:
                 m = m & (
                     _head_connected(ai, F.col("_h"))

@@ -343,3 +343,50 @@ def test_multigraph_constobj_matches_executed_reference(spark):
             sigs.add((_sig(_miner_atom(a)), tuple(sorted(g))))
         got[rule.canon()] = (r["support"], r["head_size"], frozenset(sigs))
     _compare(got, load_ga_dump("mg_constobj"), "mg_constobj")
+
+
+@pytest.mark.parametrize(
+    "dump_name,graph,none_of",
+    [
+        ("gp_yago", "yago", None),
+        ("gp_dbpedia", "dbpedia", None),
+        ("gp_nonedbp", None, ["dbpedia"]),
+    ],
+)
+def test_graph_pattern_matches_executed_reference(
+    spark, dump_name, graph, none_of
+):
+    """Graph patterns on the head atom (AmieSpec.scala:418-438 shape,
+    RulePattern(AtomPattern(graph=...))): CONTAINS semantics
+    (MappedAtomPatternMatcher.scala:35-40 atom.containsGraph) — pinned by
+    the executed reference on the two-graph union, where the shared
+    predicate `produced` ({yago, dbpedia}) distinguishes contains- from
+    only-semantics: 101 yago-heads / 50 dbpedia-heads (incl. the 12
+    produced heads in BOTH) / 89 NoneOf(dbpedia) of the 139 union rules."""
+    from rdfrules_spark.mining.multigraph import (
+        predicate_graphs,
+        quads_triples,
+    )
+    from rdfrules_spark.mining.patterns import AtomPattern, filter_rules
+
+    quads = quads_df(spark)
+    pg = {
+        r["p"]: list(r["graphs"])
+        for r in predicate_graphs(quads).collect()
+    }
+    params = MiningParams(
+        min_head_size=100, min_support=1, min_head_coverage=0.01,
+        with_duplicate_predicates=False,
+    )
+    rules = mine_constants(quads_triples(quads), params, constants="nowhere")
+    filtered = filter_rules(
+        rules,
+        head=AtomPattern(graph=graph, graph_none_of=none_of),
+        predicate_graphs=pg,
+    )
+    rows = filtered.select("head", "atoms", "support", "head_size").collect()
+    got = {}
+    for r in rows:
+        rule = _miner_rule(r["head"], r["atoms"])
+        got[rule.canon()] = (r["support"], r["head_size"])
+    _compare(got, load_dump(dump_name), dump_name)

@@ -42,6 +42,12 @@ object MineHarness {
         amie = amie.addThreshold(Threshold.MaxRuleLength(len))
       for (arg <- args; n <- arg.stripPrefix("--minhs=").toIntOption if arg.startsWith("--minhs="))
         amie = amie.addThreshold(Threshold.MinHeadSize(n))
+      // graph patterns on the HEAD atom (AmieSpec.scala:418-438 shape):
+      // RulePattern(AtomPattern(graph = ...)) sets the consequent pattern
+      for (arg <- args if arg.startsWith("--graphpattern="))
+        amie = amie.addPattern(RulePattern(AtomPattern(graph = com.github.propi.rdfrules.data.TripleItem.Uri(arg.stripPrefix("--graphpattern=")))))
+      for (arg <- args if arg.startsWith("--graphpatternnone="))
+        amie = amie.addPattern(RulePattern(AtomPattern(graph = AtomPattern.AtomItemPattern.NoneOf(AtomPattern.AtomItemPattern.Constant(com.github.propi.rdfrules.data.TripleItem.Uri(arg.stripPrefix("--graphpatternnone=")))))))
       implicit val tihi: TripleItemIndex = index.tripleItemMap
       implicit val thi: TripleIndex[Int] = index.tripleMap
       val t0 = System.nanoTime()
