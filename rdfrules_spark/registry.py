@@ -2778,3 +2778,32 @@ def q_stream_dedup_distinct_counts(spark, sf_dir):
     ).select("s_surf", "p", "o_surf")
     drained = _drain_stream(dedup_statements_stateful(stmts), "append")
     return drained.groupBy("p").agg(F.count(F.lit(1)).alias("n_distinct"))
+
+
+@register(
+    "http_pipeline_histogram",
+    f"""
+    with t as ({_REL_TRIPLES_SQL})
+    select p, cast(count(*) as bigint) as cnt
+    from t where g = 'orders' group by p
+    """,
+)
+def q_http_pipeline_histogram(spark, sf_dir):
+    """End-to-end JSON task pipeline (http_pipeline.run_pipeline_json — the
+    reference's `bin/main task.json` entry point): LoadDataset over the
+    engine's native parquet cache -> FilterQuads(graph) -> Histogram, over
+    the same relational->triples view as rel_to_triples_histogram. The
+    triples are materialized once to a scratch parquet because LoadDataset,
+    like the reference task, takes a PATH."""
+    import tempfile
+
+    from rdfrules_spark.http_pipeline import run_pipeline_json
+
+    path = f"{tempfile.gettempdir()}/rdfrules_http_pipeline_triples.parquet"
+    rel_triples(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return run_pipeline_json(spark, [
+        {"name": "LoadDataset", "parameters": {"path": path}},
+        {"name": "FilterQuads",
+         "parameters": {"or": [{"graph": "^orders$"}]}},
+        {"name": "Histogram", "parameters": {"predicate": True}},
+    ])

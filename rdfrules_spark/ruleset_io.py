@@ -71,6 +71,46 @@ def import_ndjson(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(RULE_SCHEMA).json(path)
 
 
+#: resolved-rule serialized schema (ruleset/formats/NDJson.scala writes
+#: RESOLVED rules — head + body atoms — one object per line; this is the
+#: same content over the engine's canonical atom strings, kept distributed)
+RESOLVED_RULE_SCHEMA = T.StructType([
+    T.StructField("head", T.StringType()),
+    T.StructField("atoms", T.ArrayType(T.StringType())),
+    T.StructField("head_size", T.LongType()),
+    T.StructField("support", T.LongType()),
+    T.StructField("head_coverage", T.DoubleType()),
+    T.StructField("body_size", T.LongType()),
+    T.StructField("cwa_confidence", T.DoubleType()),
+    T.StructField("pca_body_size", T.LongType()),
+    T.StructField("pca_confidence", T.DoubleType()),
+    T.StructField("qpca_body_size", T.LongType()),
+    T.StructField("qpca_confidence", T.DoubleType()),
+    T.StructField("lift", T.DoubleType()),
+])
+
+
+def _conform_resolved(rules: DataFrame) -> DataFrame:
+    cols = []
+    for f in RESOLVED_RULE_SCHEMA.fields:
+        if f.name in rules.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return rules.select(*cols)
+
+
+def export_resolved_ndjson(rules: DataFrame, path: str) -> None:
+    """Distributed NDJSON over the canonical (head, atoms) resolved schema
+    (the HTTP pipeline's ExportRules 'ndjson'; a billion-rule set streams
+    through without touching the driver)."""
+    _conform_resolved(rules).write.mode("overwrite").json(path)
+
+
+def import_resolved_ndjson(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(RESOLVED_RULE_SCHEMA).json(path)
+
+
 def export_json(rules: DataFrame, path: str, max_rows: int = 1_000_000) -> None:
     """Single JSON array file (driver-side; the array format is not
     splittable). Raises above max_rows — use NDJSON at scale."""
@@ -124,6 +164,76 @@ def export_text(rules: DataFrame, path: str) -> None:
     rules.select(rule_text_column().alias("value")).write.mode(
         "overwrite"
     ).text(path)
+
+
+#: measure text names (Measure.scala toString) -> rule-schema columns
+_TEXT_MEASURES = {
+    "support": "support",
+    "headSize": "head_size",
+    "headCoverage": "head_coverage",
+    "bodySize": "body_size",
+    "confidence": "cwa_confidence",
+    "cwaConfidence": "cwa_confidence",
+    "pcaBodySize": "pca_body_size",
+    "pcaConfidence": "pca_confidence",
+    "qpcaBodySize": "qpca_body_size",
+    "qpcaConfidence": "qpca_confidence",
+    "lift": "lift",
+}
+
+_TEXT_ATOM_RE = r"\(([^()<>\s]+) <([^<>]+)> ([^()<>\s]+)\)"
+
+
+def import_text(spark: SparkSession, path: str) -> DataFrame:
+    """Read the human Text ruleset format (ruleset/formats/Text.scala:20-66 /
+    RulesetSource.Text) back to the canonical (head, atoms) schema.
+
+    ``(?a <q> ?b) ^ ... -> (?a <p> ?b) | support: 5, headCoverage: 0.2``
+
+    A ``?``-prefixed term is a variable, anything else a constant (C=).
+    Whole parse is JVM-side (text read + regexp + higher-order transform),
+    so a billion-rule file streams through distributed."""
+    raw = spark.read.text(path)
+    halves = F.split(F.col("value"), r" -> ", 2)
+    body_txt = F.get(halves, 0)
+    tail = F.split(F.get(halves, 1), r" \| ", 2)
+
+    def term(t):
+        return F.when(t.startswith("?"), t).otherwise(F.concat(F.lit("C="), t))
+
+    def atoms_of(segment):
+        return F.transform(
+            F.regexp_extract_all(segment, F.lit(_TEXT_ATOM_RE), 0),
+            lambda a: F.concat_ws(
+                "|",
+                term(F.regexp_extract(a, _TEXT_ATOM_RE, 1)),
+                F.regexp_extract(a, _TEXT_ATOM_RE, 2),
+                term(F.regexp_extract(a, _TEXT_ATOM_RE, 3)),
+            ),
+        )
+
+    # "k: v, k: v" -> map via str_to_map (JVM built-in)
+    meas = F.str_to_map(F.coalesce(F.get(tail, 1), F.lit("")), ", ", ": ")
+    cols = [
+        F.get(atoms_of(F.get(tail, 0)), 0).alias("head"),
+        atoms_of(body_txt).alias("atoms"),
+    ]
+    seen = set()
+    for name, col in _TEXT_MEASURES.items():
+        if col in seen:
+            continue
+        seen.add(col)
+        # coalesce alternate spellings of the same column
+        spellings = [k for k, v in _TEXT_MEASURES.items() if v == col]
+        cols.append(
+            F.coalesce(*[meas.getItem(s).cast("double") for s in spellings])
+            .alias(col)
+        )
+    out = raw.where(F.col("value").rlike(" -> ")).select(*cols)
+    for c in ("support", "head_size", "body_size", "pca_body_size",
+              "qpca_body_size"):
+        out = out.withColumn(c, F.col(c).cast("long"))
+    return out
 
 
 # -- reference-format JSON (ruleset/formats/Json.scala) ----------------------
@@ -242,6 +352,13 @@ def import_reference_json(spark: SparkSession, path: str) -> DataFrame:
     it the same way)."""
     with open(path) as f:
         objs = json.load(f)
+    return rules_from_objs(spark, objs)
+
+
+def rules_from_objs(spark: SparkSession, objs: list) -> DataFrame:
+    """Resolved-rule JSON objects ({head, body, measures}) -> canonical
+    (head, atoms) rows. Also serves inline rulesets (LoadRuleset's
+    ``rules`` parameter, http:task/ruleset/LoadRuleset.scala)."""
     schema = T.StructType([
         T.StructField("head", T.StringType()),
         T.StructField("atoms", T.ArrayType(T.StringType())),

@@ -250,7 +250,13 @@ def read_rdf(spark: SparkSession, path: str, **kw) -> DataFrame:
     if ext == "sql":
         return formats.read_sql_dump(spark, path, **kw)
     if ext == "tsv":
-        return read_tsv(spark, path)
+        return read_tsv(spark, path, **kw)
+    if ext == "parquet":
+        # the engine's native cache format (analog of the reference's
+        # binary cache, RdfSource "cache"): columnar (s, p, o[, g])
+        df = spark.read.parquet(path)
+        cols = ["s", "p", "o"] + (["g"] if "g" in df.columns else [])
+        return df.select(*cols)
     raise ValueError(f"unsupported RDF extension: {path}")
 
 
