@@ -58,6 +58,7 @@ class PipelineState:
     test: DataFrame | None = None         # test triples (Predict testPath)
     prefixes: dict = field(default_factory=dict)
     sort_cols: list = field(default_factory=list)  # [(col, desc)]
+    pred_sorted: bool = False  # SortPrediction seen
     result: DataFrame | None = None
 
 
@@ -381,9 +382,11 @@ def _dataset_task(spark, state: PipelineState, name: str, params: dict):
     if name == "CacheDataset":
         return one(_cache(quads, params))
     if name == "ExportQuads":
-        from rdfrules_spark.sources.rdf import write_nt
+        # extension dispatch: .nq keeps graphs, .nt/.tsv drop them,
+        # .parquet is the native cache (data/ExportQuads.scala)
+        from rdfrules_spark.sources.rdf import write_rdf
 
-        write_nt(quads.select("s", "p", "o"), params["path"])
+        write_rdf(quads, params["path"])
         res = spark.createDataFrame([(params["path"],)], "path string")
         return replace(state, kind="result", result=res)
     if name == "GetQuads":
@@ -1142,6 +1145,15 @@ def _predict(spark, state: PipelineState, params: dict):
     return replace(state, kind="prediction", predictions=preds, test=test)
 
 
+def _sorted_preds(state: PipelineState, preds: DataFrame) -> DataFrame:
+    if not state.pred_sorted:
+        return preds
+    for c in ("noisy_or", "score", "conf"):
+        if c in preds.columns:
+            return preds.orderBy(F.desc(c))
+    return preds
+
+
 def _prediction_task(spark, state: PipelineState, name: str, params: dict):
     from rdfrules_spark.prediction import score_predictions
 
@@ -1152,7 +1164,10 @@ def _prediction_task(spark, state: PipelineState, name: str, params: dict):
         )
         return replace(state, predictions=scored)
     if name == "SortPrediction":
-        return state  # order is applied at the terminal (score desc)
+        # PredictedTriples.sorted orders by the default confidence
+        # descending (PredictedTriples.scala:37-39); applied lazily at the
+        # terminal so Catalyst can fold it into the final exchange
+        return replace(state, pred_sorted=True)
     if name == "FilterPrediction":
         if params.get("predictedResults"):
             preds = preds.where(
@@ -1165,7 +1180,7 @@ def _prediction_task(spark, state: PipelineState, name: str, params: dict):
         res = preds.groupBy().agg(F.count(F.lit(1)).alias("size"))
         return replace(state, kind="result", result=res)
     if name == "GetPrediction":
-        return replace(state, kind="result", result=preds)
+        return replace(state, kind="result", result=_sorted_preds(state, preds))
     if name == "ExportPrediction":
         from rdfrules_spark.ruleset_io import export_predictions_ndjson
 
@@ -1413,7 +1428,7 @@ def run_pipeline_json(
             out = out.orderBy(F.col(c).asc() if rev else F.col(c).desc())
         return out
     if state.kind == "prediction":
-        return state.predictions
+        return _sorted_preds(state, state.predictions)
     if state.kind == "prediction_tasks":
         return state.tasks
     raise PipelineError("empty pipeline")

@@ -276,3 +276,43 @@ def write_nt(df: DataFrame, path: str) -> None:
         F.lit(" ."),
     )
     df.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
+def write_nq(df: DataFrame, path: str) -> None:
+    """Dataset export as N-Quads (core:data/Dataset.scala export;
+    DatasetSpec.scala:51-65 writes test.nq with its graphs). Same term
+    rules as write_nt plus the graph label before the final dot."""
+    esc = lambda c: F.regexp_replace(  # noqa: E731
+        F.regexp_replace(c, r"\\", r"\\\\"), '"', r'\\"'
+    )
+    okind = df["okind"] if "okind" in df.columns else term_kind(F.col("o"))
+    line = F.concat(
+        F.lit("<"), "s", F.lit("> <"), "p", F.lit("> "),
+        F.when(okind == "uri", F.concat(F.lit("<"), "o", F.lit(">")))
+        .otherwise(F.concat(F.lit('"'), esc(F.col("o")), F.lit('"'))),
+        F.lit(" <"), "g", F.lit("> ."),
+    )
+    df.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
+def write_rdf(df: DataFrame, path: str) -> None:
+    """Writer extension dispatch (the export side of read_rdf): nt, nq,
+    tsv, parquet (native cache). A path ending .nq keeps graphs; the other
+    text forms drop them like the reference's Graph export."""
+    from rdfrules_spark.sources.tsv import write_tsv
+
+    base = re.sub(r"\.(gz|bz2)$", "", path.lower())
+    ext = base.rsplit(".", 1)[-1]
+    if ext == "nq":
+        write_nq(df, path)
+    elif ext == "nt":
+        write_nt(df.select("s", "p", "o"), path)
+    elif ext == "tsv":
+        t = df if "okind" in df.columns else df.withColumn(
+            "okind", term_kind(F.col("o"))
+        )
+        write_tsv(t.select("s", "p", "o", "okind"), path)
+    elif ext == "parquet":
+        df.write.mode("overwrite").parquet(path)
+    else:
+        raise ValueError(f"unsupported RDF export extension: {path}")

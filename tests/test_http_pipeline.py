@@ -532,3 +532,42 @@ def test_prediction_tasks_filter_shrink_convert(spark, yago_triples,
     assert _rows(loaded.select("s", "p", "o", "result")) == _rows(
         direct.select("s", "p", "o", "result")
     )
+
+
+def test_export_quads_nq_roundtrip_and_pruning(spark, tmp_path,
+                                               yago_triples):
+    """ExportQuads extension dispatch: .nq keeps graphs and round-trips
+    through LoadDataset (DatasetSpec.scala:51-65 export semantics); and the
+    lazy interpreter lets Catalyst prune the parquet scan down to the one
+    column a terminal Histogram needs."""
+    nq = str(tmp_path / "out.nq")
+    # parsed mode (default): <...> stripped, so the NQ writer re-brackets
+    res = run_pipeline_json(spark, [
+        {"name": "LoadGraph",
+         "parameters": {"path": YAGO, "graphName": "yago"}},
+        {"name": "ExportQuads", "parameters": {"path": nq}},
+    ])
+    assert res.collect()[0]["path"] == nq
+    back = run_pipeline_json(spark, [
+        {"name": "LoadDataset", "parameters": {"path": nq}},
+        {"name": "GetQuads"},
+    ])
+    assert back.count() == yago_triples.count()
+    assert [r["g"] for r in back.select("g").distinct().collect()] == ["yago"]
+
+    # column pruning: Histogram(predicate) over a parquet LoadDataset must
+    # scan ONLY p (ReadSchema) — proves tasks compose lazily into one plan
+    pq = str(tmp_path / "quads.parquet")
+    run_pipeline_json(spark, [
+        {"name": "LoadGraph",
+         "parameters": {"path": YAGO, "settings": "tsvRaw",
+                        "graphName": "yago"}},
+        {"name": "ExportQuads", "parameters": {"path": pq}},
+    ])
+    hist = run_pipeline_json(spark, [
+        {"name": "LoadDataset", "parameters": {"path": pq}},
+        {"name": "Histogram", "parameters": {"predicate": True}},
+    ])
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<p:string>" in plan
+    assert hist.count() == 33
