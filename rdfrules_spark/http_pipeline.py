@@ -75,14 +75,21 @@ def _invalid(name: str, kind: str):
 # helpers
 
 
+#: the full measureKeyReader vocabulary (CommonDataJsonReaders.scala:266-279).
+#: HeadSupport is the injective head size; this engine mines under ONE
+#: mapping semantic per run, so it aliases head_size.
 _MEASURE_COLS = {
     "HeadCoverage": "head_coverage",
     "Support": "support",
     "HeadSize": "head_size",
+    "HeadSupport": "head_size",
+    "BodySize": "body_size",
     "CwaConfidence": "cwa_confidence",
     "Confidence": "cwa_confidence",
     "PcaConfidence": "pca_confidence",
+    "PcaBodySize": "pca_body_size",
     "QpcaConfidence": "qpca_confidence",
+    "QpcaBodySize": "qpca_body_size",
     "Lift": "lift",
     "Cluster": "cluster",
 }
@@ -181,7 +188,15 @@ def _measure_filter(rules: DataFrame, name: str, value: str) -> DataFrame:
     if name == "RuleLength":
         col = F.size(F.col("atoms")) + 1
     else:
-        col = F.col(_MEASURE_COLS[name])
+        if name not in _MEASURE_COLS:
+            raise PipelineError(f"Invalid measure name: {name}")
+        c = _MEASURE_COLS[name]
+        # a measure not (yet) computed on this ruleset matches nothing —
+        # the reference's TypedKeyMap lookup returns None the same way
+        col = (
+            F.col(c) if c in rules.columns
+            else F.lit(None).cast("double")
+        )
     v = value.strip()
     for op, fn in ((">=", col.__ge__), ("<=", col.__le__), (">", col.__gt__),
                    ("<", col.__lt__), ("=", col.__eq__)):
@@ -206,7 +221,10 @@ def to_var_schema(rules: DataFrame, keep_atoms: bool = False) -> DataFrame:
             ('f' = r(?b,?c))
 
     Raises on instantiated atoms (prediction over instantiated rules is not
-    supported — predict from a constants-free mining config)."""
+    supported — predict from a constants-free mining config). The guard is
+    IN-PLAN (F.raise_error on the offending row), not an eager count: an
+    eager probe would execute the whole upstream mining plan once per
+    conversion (Predict/Prune/Instantiate/Lift each call this)."""
     if "atoms" not in rules.columns:
         return rules  # already var schema
     su = lambda a: F.split(a, r"\|")[0]  # noqa: E731
@@ -216,12 +234,6 @@ def to_var_schema(rules: DataFrame, keep_atoms: bool = False) -> DataFrame:
         F.concat(F.array(F.col("head")), F.col("atoms")),
         lambda a: su(a).startswith("C=") | ob(a).startswith("C="),
     )
-    n_const = rules.where(has_const).limit(1).count()
-    if n_const:
-        raise PipelineError(
-            "instantiated rules can not be converted to the var-rule "
-            "schema; mine with WithoutConstants for prediction"
-        )
     a0, a1 = F.col("atoms")[0], F.get(F.col("atoms"), 1)
     has_c = F.exists(
         F.col("atoms"), lambda a: (su(a) == "?c") | (ob(a) == "?c")
@@ -247,7 +259,13 @@ def to_var_schema(rules: DataFrame, keep_atoms: bool = False) -> DataFrame:
     if keep_atoms:
         measures = ["head", "atoms"] + measures
     out = rules.select(
-        F.split(F.col("head"), r"\|")[1].alias("p"),
+        F.when(
+            has_const,
+            F.raise_error(F.lit(
+                "instantiated rules can not be converted to the var-rule "
+                "schema; mine with WithoutConstants for prediction"
+            )),
+        ).otherwise(F.split(F.col("head"), r"\|")[1]).alias("p"),
         F.when(F.size("atoms") == 1, "l2")
         .when(has_c, "l3v3")
         .otherwise("l3v2")
@@ -301,7 +319,6 @@ def _load(spark: SparkSession, state: PipelineState, name, params):
 
 def _dataset_task(spark, state: PipelineState, name: str, params: dict):
     from rdfrules_spark.operators import shrink as shrink_ops
-    from rdfrules_spark.operators.filters import filter_quads, map_quads
     from rdfrules_spark.operators.histogram import histogram, properties
 
     quads = _union_datasets(state)
@@ -340,13 +357,34 @@ def _dataset_task(spark, state: PipelineState, name: str, params: dict):
             cond = cond | c
         return one(quads.where(cond))
     if name == "MapQuads":
+        # data/MapQuads: rewrite ONLY quads matched by the WHOLE search
+        # QuadMatcher (search.inverse negates it); each replacement position
+        # is a regexp replacement with $N capture refs against that
+        # position's search regex, or a literal when the position has no
+        # search regex (QuadMapper.scala:12-45; cross-position $sN refs are
+        # not supported). The match is frozen in a column first so earlier
+        # rewrites cannot change what later positions see.
         search, repl = params["search"], params["replacement"]
         cols = {"subject": "s", "predicate": "p", "object": "o", "graph": "g"}
-        df = quads
+        cond = _quad_matcher(
+            {k: v for k, v in search.items() if k != "inverse"}
+        ).to_column()
+        if search.get("inverse"):
+            cond = ~cond
+        df = quads.withColumn("_m", cond)
         for k, col in cols.items():
-            if k in repl and k in search:
-                df = map_quads(df, col, str(search[k]), str(repl[k]))
-        return one(df)
+            if k not in repl:
+                continue
+            if search.get(k) is not None:
+                newv = F.regexp_replace(
+                    F.col(col), str(search[k]), str(repl[k])
+                )
+            else:
+                newv = F.lit(str(repl[k]))
+            df = df.withColumn(
+                col, F.when(F.col("_m"), newv).otherwise(F.col(col))
+            )
+        return one(df.drop("_m"))
     if name == "ShrinkQuads":
         order = ["s", "p", "o", "g"]
         if "take" in params:
@@ -465,14 +503,17 @@ def _discretize(quads: DataFrame, params: dict) -> DataFrame:
     nums = quads.where(cond).select(
         F.col("o").try_cast("double").alias("v")
     ).where(F.col("v").isNotNull())
-    iv = _intervals_for(nums, task)
-    b = F.broadcast(iv.select("lo", "hi"))
+    iv = _intervals_for(nums, task).select("lo", "hi")
+    # half-open [lo;hi) matching with a CLOSED last bin, so a value on a
+    # shared bin boundary lands in exactly ONE interval (same law as
+    # discretize_equidistance's floor-bin + least(k-1))
+    b = F.broadcast(iv.crossJoin(iv.agg(F.max("hi").alias("_mx"))))
     v = F.col("o").try_cast("double")
-    joined = quads.join(
-        b,
-        cond & v.isNotNull() & (v >= F.col("lo")) & (v <= F.col("hi")),
-        "left",
+    in_bin = (v >= F.col("lo")) & (
+        (v < F.col("hi"))
+        | ((F.col("hi") == F.col("_mx")) & (v <= F.col("hi")))
     )
+    joined = quads.join(b, cond & v.isNotNull() & in_bin, "left")
     return joined.select(
         "s", "p",
         F.when(
@@ -510,11 +551,16 @@ def _discretize_in_bulk(quads: DataFrame, params: dict) -> DataFrame:
     iv = per[0]
     for d in per[1:]:
         iv = iv.unionByName(d)
+    # closed last bin PER PREDICATE (see _discretize)
+    iv = iv.join(iv.groupBy("ip").agg(F.max("hi").alias("_mx")), "ip")
     v = F.col("o").try_cast("double")
+    in_bin = (v >= F.col("lo")) & (
+        (v < F.col("hi"))
+        | ((F.col("hi") == F.col("_mx")) & (v <= F.col("hi")))
+    )
     joined = quads.join(
         F.broadcast(iv),
-        (F.col("p") == F.col("ip"))
-        & v.isNotNull() & (v >= F.col("lo")) & (v <= F.col("hi")),
+        (F.col("p") == F.col("ip")) & v.isNotNull() & in_bin,
         "left",
     )
     return joined.select(
@@ -778,11 +824,20 @@ def _mine(spark, state: PipelineState, params: dict):
                 "Subject": "subject", "Object": "object",
                 "LowerCardinalitySide": "lcs", "Both": "both",
             }
-            cfp = {
-                str(p): pos_map[str(e.get("position", "Both"))]
-                for e in c["values"]
-                for p in e["predicates"]
-            }
+            # reference entry keys are SINGULAR {predicate, position};
+            # entries missing either are silently skipped (toOpt.zip,
+            # CommonDataJsonReaders.scala:208-211). A legacy {predicates:
+            # [...]} list is also accepted.
+            cfp = {}
+            for e in c["values"]:
+                pos = e.get("position")
+                preds = e.get("predicates") or (
+                    [e["predicate"]] if e.get("predicate") else []
+                )
+                if pos is None or not preds:
+                    continue
+                for p in preds:
+                    cfp[str(p)] = pos_map[str(pos)]
         else:
             raise PipelineError(f"Invalid constraint: {n}")
     # the HTTP Mine task auto-adds InjectiveMapping
@@ -810,7 +865,8 @@ def _mine(spark, state: PipelineState, params: dict):
             }
         rules = filter_rules(
             rules, body=body or None, head=head,
-            exact=bool(p.get("exact")), predicate_graphs=pg,
+            exact=bool(p.get("exact")), orderless=bool(p.get("orderless")),
+            predicate_graphs=pg,
         )
     for consumer in params.get("ruleConsumers", []):
         if consumer.get("name") == "topK":
@@ -838,8 +894,17 @@ def _ruleset_task(spark, state: PipelineState, name: str, params: dict):
     if name == "ComputeSupport":
         from rdfrules_spark.mining.measures import recount_support
 
-        re = recount_support(to_var_schema(rules), state.triples)
-        return replace(state, rules=re)
+        # recount on the var-key bridge, then join the refreshed measures
+        # back so state.rules KEEPS the canonical (head, atoms) schema
+        # (same pattern as the Lift branch of _confidence)
+        base = to_var_schema(rules, keep_atoms=True)
+        re = recount_support(base, state.triples).select(
+            "head", "atoms", "support", "head_size", "head_coverage"
+        )
+        new_rules = rules.drop("support", "head_size", "head_coverage").join(
+            re, ["head", "atoms"]
+        )
+        return replace(state, rules=new_rules)
     if name == "FilterRules":
         from rdfrules_spark.mining.patterns import filter_rules
 
@@ -851,15 +916,15 @@ def _ruleset_task(spark, state: PipelineState, name: str, params: dict):
                 body=[_atom_pattern(x) for x in p.get("body", [])] or None,
                 head=_atom_pattern(p.get("head")),
                 exact=bool(p.get("exact")),
+                orderless=bool(p.get("orderless")),
             )
         return replace(state, rules=rules)
     if name == "SortRuleset":
         by = params.get("by", [])
         if by:
-            cols = [
-                (_MEASURE_COLS[m["measure"]], bool(m.get("reversed")))
-                for m in by
-            ]
+            # keep the MEASURE NAME (incl. RuleLength); resolved lazily by
+            # _rule_order so derived measures sort too
+            cols = [(m["measure"], bool(m.get("reversed"))) for m in by]
         else:
             # default measure ordering (Measure.scala:144-154)
             cols = [
@@ -872,10 +937,7 @@ def _ruleset_task(spark, state: PipelineState, name: str, params: dict):
     if name == "ShrinkRuleset":
         from rdfrules_spark.operators import shrink as shrink_ops
 
-        order = [
-            (F.col(c).asc() if rev else F.col(c).desc())
-            for c, rev in state.sort_cols
-        ] or ["head", "atoms"]
+        order = _rule_order(state, rules) or ["head", "atoms"]
         if "take" in params:
             return replace(
                 state, rules=shrink_ops.take(rules, int(params["take"]), *order)
@@ -895,9 +957,11 @@ def _ruleset_task(spark, state: PipelineState, name: str, params: dict):
     if name == "CacheRuleset":
         return replace(state, rules=_cache(rules, params))
     if name == "GetRules":
-        out = rules
-        for c, rev in reversed(state.sort_cols):
-            out = out.orderBy(F.col(c).asc() if rev else F.col(c).desc())
+        order = _rule_order(state, rules)
+        # ONE orderBy with every key: chained orderBy calls collapse
+        # (Catalyst EliminateSorts keeps only the outermost global sort),
+        # which would drop all tie-breaking keys
+        out = rules.orderBy(*order) if order else rules
         return replace(state, kind="result", result=out)
     if name == "RulesetSize":
         res = rules.groupBy().agg(F.count(F.lit(1)).alias("size"))
@@ -1091,7 +1155,7 @@ def _export_rules(spark, rules: DataFrame, params: dict) -> DataFrame:
     path = params["path"]
     fmt = params.get("format") or path.rsplit(".", 1)[-1]
     if fmt in ("txt", "text"):
-        ruleset_io.export_text(rules, path)
+        ruleset_io.export_text_resolved(rules, path)
     elif fmt == "json":
         ruleset_io.export_reference_json(rules, path)
     elif fmt == "ndjson":
@@ -1128,7 +1192,9 @@ def _predict(spark, state: PipelineState, params: dict):
     # graph (core:index/TrainTestIndex merged view, Predict.scala) — the
     # Positive/Negative tagging still compares against the same bound index
     bind = state.triples
-    if test is not None and params.get("mergeTestAndTrainForPrediction"):
+    # reference default is TRUE (predictReader,
+    # PipelineJsonReaders.scala:259): bodies bind over train UNION test
+    if test is not None and params.get("mergeTestAndTrainForPrediction", True):
         bind = merged_triples(state.triples, test)
     preds = predict_triples(
         var_rules,
@@ -1143,6 +1209,23 @@ def _predict(spark, state: PipelineState, params: dict):
     if wanted:
         preds = preds.where(F.col("result").isin([str(x) for x in wanted]))
     return replace(state, kind="prediction", predictions=preds, test=test)
+
+
+def _rule_order(state: PipelineState, rules: DataFrame) -> list:
+    """SortRuleset keys -> one list of sort expressions (single orderBy).
+    Keys are measure names (by=) or raw column names (default ordering);
+    a measure not computed on this ruleset is skipped as a sort key."""
+    out = []
+    for m, rev in state.sort_cols:
+        if m == "RuleLength":
+            col = F.size(F.col("atoms")) + 1
+        else:
+            c = _MEASURE_COLS.get(m, m)
+            if c not in rules.columns:
+                continue
+            col = F.col(c)
+        out.append(col.asc() if rev else col.desc())
+    return out
 
 
 def _sorted_preds(state: PipelineState, preds: DataFrame) -> DataFrame:
@@ -1207,7 +1290,17 @@ def _prediction_task(spark, state: PipelineState, name: str, params: dict):
     if name == "ShrinkPrediction":
         from rdfrules_spark.operators import shrink as shrink_ops
 
+        # after SortPrediction the sequence order is confidence-descending
+        # (prediction/Shrink.scala shrinks the CURRENT order); tie-break on
+        # the triple for determinism
         order = ["s", "p", "o"]
+        if state.pred_sorted:
+            score = next(
+                (c for c in ("noisy_or", "score", "conf")
+                 if c in preds.columns), None,
+            )
+            if score:
+                order = [F.desc(score), "s", "p", "o"]
         if "take" in params:
             return replace(
                 state,
@@ -1423,12 +1516,38 @@ def run_pipeline_json(
     if state.kind == "index":
         return state.triples
     if state.kind == "ruleset":
-        out = state.rules
-        for c, rev in reversed(state.sort_cols):
-            out = out.orderBy(F.col(c).asc() if rev else F.col(c).desc())
-        return out
+        order = _rule_order(state, state.rules)
+        return state.rules.orderBy(*order) if order else state.rules
     if state.kind == "prediction":
         return _sorted_preds(state, state.predictions)
     if state.kind == "prediction_tasks":
         return state.tasks
     raise PipelineError("empty pipeline")
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI analog of the reference's ``bin/main task.json result.json``
+    (http:Main.scala): run the task pipeline and write the result rows as
+    NDJSON to the output path (stdout when omitted). Row count stays
+    bounded by the pipeline's own terminal task (Size/Get*/topK...)."""
+    import sys
+
+    args = list(sys.argv[1:] if argv is None else argv)
+    if not args:
+        print("usage: python -m rdfrules_spark.http_pipeline "
+              "task.json [result.ndjson]", file=sys.stderr)
+        raise SystemExit(2)
+    from rdfrules_spark.session import get_spark
+
+    spark = get_spark("rdfrules-task-pipeline")
+    out = run_pipeline_json(spark, args[0])
+    if len(args) > 1:
+        out.write.mode("overwrite").json(args[1])
+        print(args[1])
+    else:
+        for line in out.toJSON().toLocalIterator():
+            print(line)
+
+
+if __name__ == "__main__":
+    main()

@@ -166,6 +166,52 @@ def export_text(rules: DataFrame, path: str) -> None:
     ).text(path)
 
 
+def export_text_resolved(rules: DataFrame, path: str) -> None:
+    """Human Text format over the canonical (head, atoms) resolved schema
+    (Text.scala:20-66) — handles instantiated atoms (C=...) and any rule
+    length; round-trips through :func:`import_text`. All JVM-side
+    (higher-order transform + concat), streams distributed."""
+    def term(t):
+        return F.when(
+            t.startswith("C="), F.substring(t, 3, 1 << 20)
+        ).otherwise(t)
+
+    def atom_text(a):
+        parts = F.split(a, r"\|")
+        return F.concat(
+            F.lit("("), term(parts[0]), F.lit(" <"), parts[1], F.lit("> "),
+            term(parts[2]), F.lit(")"),
+        )
+
+    body = F.array_join(
+        F.transform(F.col("atoms"), atom_text), " ^ "
+    )
+    meas = []
+    seen = set()
+    for name, col in _TEXT_MEASURES.items():
+        if col in seen or col not in rules.columns:
+            continue
+        seen.add(col)
+        meas.append(
+            F.when(
+                F.col(col).isNotNull(),
+                F.concat(F.lit(f"{name}: "), F.col(col).cast("string")),
+            )
+        )
+    tail = (
+        F.concat(
+            F.lit(" | "),
+            F.array_join(F.array_compact(F.array(*meas)), ", "),
+        )
+        if meas
+        else F.lit("")
+    )
+    line = F.concat(
+        body, F.lit(" -> "), atom_text(F.col("head")), tail
+    )
+    rules.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
 #: measure text names (Measure.scala toString) -> rule-schema columns
 _TEXT_MEASURES = {
     "support": "support",
@@ -213,7 +259,11 @@ def import_text(spark: SparkSession, path: str) -> DataFrame:
         )
 
     # "k: v, k: v" -> map via str_to_map (JVM built-in)
-    meas = F.str_to_map(F.coalesce(F.get(tail, 1), F.lit("")), ", ", ": ")
+    # str_to_map's delimiters are Column parameters — bare strings would be
+    # resolved as column NAMES
+    meas = F.str_to_map(
+        F.coalesce(F.get(tail, 1), F.lit("")), F.lit(", "), F.lit(": ")
+    )
     cols = [
         F.get(atoms_of(F.get(tail, 0)), 0).alias("head"),
         atoms_of(body_txt).alias("atoms"),

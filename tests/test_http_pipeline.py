@@ -571,3 +571,105 @@ def test_export_quads_nq_roundtrip_and_pruning(spark, tmp_path,
     plan = hist._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<p:string>" in plan
     assert hist.count() == 33
+
+
+def test_review_fixes(spark, tmp_path):
+    """Regression pins for the round-2 review findings: boundary values
+    land in exactly one interval, MapQuads conditions on the WHOLE search
+    matcher, SortRuleset multi-key ordering survives Catalyst, measure
+    vocabulary (BodySize/RuleLength), ExportRules txt round-trip."""
+    # --- interval boundary: values 0..40, bins 4 -> boundaries 10/20/30.
+    num = tmp_path / "b.tsv"
+    with open(num, "w", encoding="utf-8") as f:
+        for i in range(41):
+            f.write(f"<e{i}>\t<v>\t{i}.\n")
+    load = {"name": "LoadGraph",
+            "parameters": {"path": str(num), "settings": "tsvRaw"}}
+    out = run_pipeline_json(spark, [
+        load,
+        {"name": "Discretize", "parameters": {
+            "task": {"name": "Equidistance", "bins": 4},
+            "predicate": "<v>"}},
+        {"name": "GetQuads"},
+    ])
+    # one quad per input row (no double-matched boundary), 4 intervals,
+    # and the max value 40 lands in the LAST (closed) bin
+    assert out.count() == 41
+    assert out.select("o").distinct().count() == 4
+    assert out.where(F.col("s") == "<e40>").collect()[0]["o"] == "[30.0;40.0)"
+    # DiscretizeInBulk sees the same law
+    out2 = run_pipeline_json(spark, [
+        load,
+        {"name": "DiscretizeInBulk", "parameters": {
+            "predicates": ["<v>"],
+            "task": {"name": "Equidistance", "bins": 4}}},
+        {"name": "GetQuads"},
+    ])
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, out2.collect())
+    )
+
+    # --- MapQuads: replacement applies ONLY to fully-matched quads
+    mixed = tmp_path / "m.tsv"
+    with open(mixed, "w", encoding="utf-8") as f:
+        f.write("<a>\t<p>\t<x>.\n<a>\t<q>\t<y>.\n<b>\t<p>\t<z>.\n")
+    res = run_pipeline_json(spark, [
+        {"name": "LoadGraph",
+         "parameters": {"path": str(mixed), "settings": "tsvRaw"}},
+        {"name": "MapQuads", "parameters": {
+            "search": {"subject": "^<a>$", "predicate": "^<p>$"},
+            "replacement": {"subject": "<A>"}}},
+        {"name": "GetQuads"},
+    ])
+    rows = {(r["s"], r["p"], r["o"]) for r in res.collect()}
+    assert rows == {("<A>", "<p>", "<x>"), ("<a>", "<q>", "<y>"),
+                    ("<b>", "<p>", "<z>")}
+
+    # --- SortRuleset multi-key + RuleLength + BodySize filter + txt export
+    mine = [
+        {"name": "LoadGraph",
+         "parameters": {"path": YAGO, "settings": "tsvRaw"}},
+        {"name": "Index"},
+        {"name": "Mine", "parameters": {
+            "thresholds": [{"name": "MinHeadCoverage", "value": 0.01}],
+            "constraints": [{"name": "WithoutDuplicitPredicates"},
+                            {"name": "WithoutConstants"}],
+        }},
+    ]
+    res = run_pipeline_json(spark, mine + [
+        {"name": "SortRuleset", "parameters": {"by": [
+            {"measure": "RuleLength", "reversed": True},
+            {"measure": "Support"},
+        ]}},
+        {"name": "GetRules"},
+    ])
+    rows = [(len(r["atoms"]) + 1, r["support"]) for r in res.collect()]
+    # multi-key: length ascending, support DESCENDING within each length
+    assert rows == sorted(rows, key=lambda t: (t[0], -t[1]))
+    filt = run_pipeline_json(spark, mine + [
+        {"name": "FilterRules", "parameters": {
+            "measures": [{"name": "BodySize", "value": "> 0"}]}},
+        {"name": "RulesetSize"},
+    ])
+    # body_size isn't mined -> null -> no rows pass a > filter (valid
+    # vocabulary, no KeyError)
+    assert filt.collect()[0]["size"] == 0
+    # txt round-trip in PARSED mode: the Text syntax's <...> are
+    # serialization brackets (Text.scala), so terms must be bare URIs
+    mine_parsed = [
+        {"name": "LoadGraph", "parameters": {"path": YAGO}},
+    ] + mine[1:]
+    txt = str(tmp_path / "rules.txt")
+    run_pipeline_json(spark, mine_parsed + [
+        {"name": "ExportRules", "parameters": {"path": txt,
+                                               "format": "txt"}},
+    ])
+    direct = run_pipeline_json(spark, mine_parsed + [{"name": "GetRules"}])
+    loaded = run_pipeline_json(spark, [
+        {"name": "LoadRulesetWithoutIndex",
+         "parameters": {"path": txt, "format": "txt"}},
+        {"name": "GetRules"},
+    ])
+    assert _rows(loaded.select("head", "atoms", "support")) == _rows(
+        direct.select("head", "atoms", "support")
+    )
