@@ -1169,7 +1169,14 @@ def _predict(spark, state: PipelineState, params: dict):
     """Predict (ruleset/Predict.scala; reader
     PipelineJsonReaders.scala:255-265). Supported: testPath,
     mergeTestAndTrainForPrediction, onlyTestCoveredPredictions,
-    predictedResults, injectiveMapping."""
+    predictedResults, injectiveMapping, headVariablePreMapping.
+
+    headVariablePreMapping (Prediction.scala:14-28) is a SPEED knob in the
+    reference (restrict the head's higher-cardinality variable to test-set
+    values before binding); here predict_triples already applies the
+    test-covered restriction at the earliest point the head predicate is
+    known, which subsumes every variant — the value is accepted and the
+    same plan is produced."""
     from rdfrules_spark.prediction import merged_triples, predict_triples
     from rdfrules_spark.sources.rdf import read_rdf
 

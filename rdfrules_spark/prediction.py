@@ -99,32 +99,37 @@ def predict_triples(
     subs = t.select("p", F.col("s").alias("e")).distinct().withColumn("_se", F.lit(True))
     objs = t.select("p", F.col("o").alias("e")).distinct().withColumn("_oe", F.lit(True))
 
+    # test-covered restriction applied at the EARLIEST point where the
+    # head predicate is known — BEFORE the four tagging joins, so only
+    # test-relevant candidates flow through them. This is the Spark-native
+    # analog of the reference's HeadVariablePreMapping speed-up
+    # (Prediction.scala:14-28): the restriction cannot change the result
+    # (onlyTestCoveredPredictions re-derives the same set), only the cost.
+    if only_covered and covered is not None:
+        csubs = covered.select("p", F.col("s").alias("s")).distinct() \
+            .withColumn("_cse", F.lit(True))
+        cobjs = covered.select("p", F.col("o").alias("o")).distinct() \
+            .withColumn("_coe", F.lit(True))
+        preds = (
+            preds.join(csubs, ["p", "s"], "left")
+            .join(cobjs, ["p", "o"], "left")
+            .where(
+                F.coalesce(F.col("_cse"), F.lit(False))
+                | F.coalesce(F.col("_coe"), F.lit(False))
+            )
+            .drop("_cse", "_coe")
+        )
     out = (
         preds.join(known, ["s", "p", "o"], "left")
         .join(F.broadcast(side), "p")
         .join(subs.withColumnRenamed("e", "s"), ["p", "s"], "left")
         .join(objs.withColumnRenamed("e", "o"), ["p", "o"], "left")
     )
-    if only_covered:
-        if covered is not None:
-            csubs = covered.select("p", F.col("s").alias("s")).distinct() \
-                .withColumn("_cse", F.lit(True))
-            cobjs = covered.select("p", F.col("o").alias("o")).distinct() \
-                .withColumn("_coe", F.lit(True))
-            out = (
-                out.join(csubs, ["p", "s"], "left")
-                .join(cobjs, ["p", "o"], "left")
-                .where(
-                    F.coalesce(F.col("_cse"), F.lit(False))
-                    | F.coalesce(F.col("_coe"), F.lit(False))
-                )
-                .drop("_cse", "_coe")
-            )
-        else:
-            out = out.where(
-                F.coalesce(F.col("_se"), F.lit(False))
-                | F.coalesce(F.col("_oe"), F.lit(False))
-            )
+    if only_covered and covered is None:
+        out = out.where(
+            F.coalesce(F.col("_se"), F.lit(False))
+            | F.coalesce(F.col("_oe"), F.lit(False))
+        )
     head_entity_known = F.when(
         F.col("hc_side") == "subject", F.coalesce(F.col("_se"), F.lit(False))
     ).otherwise(F.coalesce(F.col("_oe"), F.lit(False)))
