@@ -107,6 +107,60 @@ def write_triple_store(triples: DataFrame, path: str) -> None:
     triples.write.mode("overwrite").partitionBy("pred_bucket").parquet(path)
 
 
+def predicate_neighbours(triples: DataFrame) -> DataFrame:
+    """Per-predicate-pair join-size estimates (reference
+    core:index/TripleIndex.scala:58-95: neighboursSS/SO/OO/OS) — the
+    selectivity statistics the reference's experimental refinement uses to
+    order atom joins.
+
+    For predicates p, q and shared entity e:
+      SS = sum_e |objs_p(e)| * |objs_q(e)|   (e subject of both;
+           q == p uses |objs_p(e)| * (|objs_p(e)|-1), the self-join size
+           minus the diagonal, as in the reference)
+      SO = sum_e |objs_p(e)| * |subjs_q(e)|  (e subject of p, object of q)
+      OO = sum_e |subjs_p(e)| * |subjs_q(e)| (e object of both; q == p
+           diagonal-corrected)
+      OS = sum_e |subjs_p(e)| * |objs_q(e)|  (e object of p, subject of q)
+
+    Scale: two groupBy pre-aggregations then equi-joins keyed by entity —
+    per-entity fan-out is (#predicates at the entity)^2, bounded by the
+    schema, never by the fact count; AQE splits skewed hub entities.
+    Output is at most 4 * |P|^2 rows.
+    """
+    ps = triples.groupBy("p", "s").agg(F.countDistinct("o").alias("c"))
+    po = triples.groupBy("p", "o").agg(F.countDistinct("s").alias("c"))
+    ps_e = ps.select(F.col("p"), F.col("s").alias("e"), F.col("c"))
+    po_e = po.select(F.col("p"), F.col("o").alias("e"), F.col("c"))
+
+    def _pair(left, right, mode, diagonal):
+        a = left.select(
+            F.col("p").alias("p"), F.col("e"), F.col("c").alias("ca")
+        )
+        b = right.select(
+            F.col("p").alias("q"), F.col("e"), F.col("c").alias("cb")
+        )
+        est = (
+            F.when(F.col("p") == F.col("q"), F.col("ca") * (F.col("ca") - 1))
+            if diagonal
+            else F.col("ca") * F.col("cb")
+        )
+        if diagonal:
+            est = est.otherwise(F.col("ca") * F.col("cb"))
+        return (
+            a.join(b, "e")
+            .groupBy("p", "q")
+            .agg(F.sum(est).alias("est"))
+            .select("p", "q", F.lit(mode).alias("mode"), "est")
+        )
+
+    return (
+        _pair(ps_e, ps_e, "SS", True)
+        .unionByName(_pair(ps_e, po_e, "SO", False))
+        .unionByName(_pair(po_e, po_e, "OO", True))
+        .unionByName(_pair(po_e, ps_e, "OS", False))
+    )
+
+
 def predicate_stats(triples: DataFrame) -> DataFrame:
     """Per-predicate statistics table (reference core:index/TripleIndex.scala:
     47-174). One shuffle on p; mode via max_by over a (p,o)/(p,s) pre-agg.

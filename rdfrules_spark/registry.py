@@ -188,6 +188,37 @@ def q_property_cardinalities(spark, sf_dir):
     return property_cardinalities(rel_triples(spark, sf_dir))
 
 
+@register(
+    "predicate_neighbours",
+    f"""
+    with t as (select distinct s, p, o from ({_REL_TRIPLES_SQL})),
+    ps as (select p, s as e, count(distinct o) as c from t group by p, s),
+    po as (select p, o as e, count(distinct s) as c from t group by p, o)
+    select a.p as p, b.p as q, 'SS' as mode,
+           sum(case when a.p = b.p then a.c * (a.c - 1)
+                    else a.c * b.c end) as est
+    from ps a join ps b on a.e = b.e group by a.p, b.p
+    union all
+    select a.p, b.p, 'SO', sum(a.c * b.c)
+    from ps a join po b on a.e = b.e group by a.p, b.p
+    union all
+    select a.p, b.p, 'OO',
+           sum(case when a.p = b.p then a.c * (a.c - 1) else a.c * b.c end)
+    from po a join po b on a.e = b.e group by a.p, b.p
+    union all
+    select a.p, b.p, 'OS', sum(a.c * b.c)
+    from po a join ps b on a.e = b.e group by a.p, b.p
+    """,
+)
+def q_predicate_neighbours(spark, sf_dir):
+    """neighboursSS/SO/OO/OS join-size statistics
+    (TripleIndex.scala:58-95) over the relational triple view."""
+    from rdfrules_spark.dictionary import predicate_neighbours
+
+    t = rel_triples(spark, sf_dir).select("s", "p", "o").distinct()
+    return predicate_neighbours(t)
+
+
 # --------------------------------------------------------------------------
 # Filters / maps / shrink (reference Transformable, FilterQuads, MapQuads)
 # --------------------------------------------------------------------------

@@ -131,3 +131,29 @@ def test_prediction_stats_and_conversions(spark):
         ("c1", "p1", "e2"),
         ("e9", "p2", "c9"),
     }
+
+
+def test_predicate_neighbours_hand_golden(spark):
+    """neighboursSS/SO/OO/OS (TripleIndex.scala:58-95) on a 4-triple KG,
+    every mode hand-computed, incl. the q == p diagonal correction."""
+    from rdfrules_spark.dictionary import predicate_neighbours
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "p", "c"), ("a", "q", "b"), ("b", "q", "c")],
+        ["s", "p", "o"],
+    )
+    got = {
+        (r["p"], r["q"], r["mode"]): r["est"]
+        for r in predicate_neighbours(t).collect()
+    }
+    assert got == {
+        # subject a: objs_p(a)=2, objs_q(a)=1; subject b: objs_q(b)=1
+        ("p", "p", "SS"): 2, ("p", "q", "SS"): 2,
+        ("q", "p", "SS"): 2, ("q", "q", "SS"): 0,
+        # b is subject of q and object of p/q
+        ("q", "p", "SO"): 1, ("q", "q", "SO"): 1,
+        # objects b, c each reached by p once and q once
+        ("p", "p", "OO"): 0, ("p", "q", "OO"): 2,
+        ("q", "p", "OO"): 2, ("q", "q", "OO"): 0,
+        ("p", "q", "OS"): 1, ("q", "q", "OS"): 1,
+    }
