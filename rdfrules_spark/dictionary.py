@@ -139,13 +139,13 @@ def predicate_neighbours(triples: DataFrame) -> DataFrame:
         b = right.select(
             F.col("p").alias("q"), F.col("e"), F.col("c").alias("cb")
         )
+        cross = F.col("ca") * F.col("cb")
         est = (
-            F.when(F.col("p") == F.col("q"), F.col("ca") * (F.col("ca") - 1))
+            F.when(F.col("p") == F.col("q"),
+                   F.col("ca") * (F.col("ca") - 1)).otherwise(cross)
             if diagonal
-            else F.col("ca") * F.col("cb")
+            else cross
         )
-        if diagonal:
-            est = est.otherwise(F.col("ca") * F.col("cb"))
         return (
             a.join(b, "e")
             .groupBy("p", "q")

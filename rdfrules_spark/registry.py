@@ -195,27 +195,32 @@ def q_property_cardinalities(spark, sf_dir):
     ps as (select p, s as e, count(distinct o) as c from t group by p, s),
     po as (select p, o as e, count(distinct s) as c from t group by p, o)
     select a.p as p, b.p as q, 'SS' as mode,
-           sum(case when a.p = b.p then a.c * (a.c - 1)
-                    else a.c * b.c end) as est
+           cast(sum(case when a.p = b.p then a.c * (a.c - 1)
+                    else a.c * b.c end) as bigint) as est
     from ps a join ps b on a.e = b.e group by a.p, b.p
     union all
-    select a.p, b.p, 'SO', sum(a.c * b.c)
+    select a.p, b.p, 'SO', cast(sum(a.c * b.c) as bigint)
     from ps a join po b on a.e = b.e group by a.p, b.p
     union all
     select a.p, b.p, 'OO',
-           sum(case when a.p = b.p then a.c * (a.c - 1) else a.c * b.c end)
+           cast(sum(case when a.p = b.p then a.c * (a.c - 1)
+                    else a.c * b.c end) as bigint)
     from po a join po b on a.e = b.e group by a.p, b.p
     union all
-    select a.p, b.p, 'OS', sum(a.c * b.c)
+    select a.p, b.p, 'OS', cast(sum(a.c * b.c) as bigint)
     from po a join ps b on a.e = b.e group by a.p, b.p
     """,
 )
 def q_predicate_neighbours(spark, sf_dir):
     """neighboursSS/SO/OO/OS join-size statistics
-    (TripleIndex.scala:58-95) over the relational triple view."""
+    (TripleIndex.scala:58-95) over the relational triple view.
+
+    No .distinct() here: predicate_neighbours' groupBy+countDistinct
+    already deduplicates (s,p,o) repeats, so a pre-distinct would only
+    add a full extra shuffle on the fact table."""
     from rdfrules_spark.dictionary import predicate_neighbours
 
-    t = rel_triples(spark, sf_dir).select("s", "p", "o").distinct()
+    t = rel_triples(spark, sf_dir).select("s", "p", "o")
     return predicate_neighbours(t)
 
 
@@ -537,9 +542,9 @@ def q_nt_roundtrip(spark, sf_dir):
     iv as (select a.i - 1 as bin, b.cut as lo_c, a.cut as hi_c
            from adj a join adj b on b.i = a.i - 1)
     select bin,
-           (select min(v) from cum where cum > lo_c) as lo,
-           (select max(v) from cum where cum <= hi_c) as hi,
-           hi_c - lo_c as cnt
+           cast((select min(v) from cum where cum > lo_c) as double) as lo,
+           cast((select max(v) from cum where cum <= hi_c) as double) as hi,
+           cast(hi_c - lo_c as bigint) as cnt
     from iv
     """,
 )
@@ -566,9 +571,9 @@ def q_equisize_intervals(spark, sf_dir):
     ),
     leaves as (select lo, hi from nodes, params where (hi - lo) // 2 < s)
     select row_number() over (order by lo) - 1 as bin,
-           (select min(v) from cum where cum > lo) as lo,
-           (select min(v) from cum where cum > hi - 1) as hi,
-           hi - lo as cnt
+           cast((select min(v) from cum where cum > lo) as double) as lo,
+           cast((select min(v) from cum where cum > hi - 1) as double) as hi,
+           cast(hi - lo as bigint) as cnt
     from leaves
     """,
 )
@@ -1507,7 +1512,8 @@ def q_mine_l4_rules(spark, sf_dir):
     pg as (select p, list_sort(list(distinct g)) as graphs
            from quads group by p)
     select r.p, r.q, r.d1, r.head_size, r.support,
-           ph.graphs as g_head, pq.graphs as g1
+           array_to_string(ph.graphs, ',') as g_head,
+           array_to_string(pq.graphs, ',') as g1
     from rules r
     join pg ph on ph.p = r.p
     join pg pq on pq.p = r.q
@@ -1529,8 +1535,13 @@ def q_multigraph_l2_rules(spark, sf_dir):
                           min_head_coverage=0.01, max_rule_length=2)
     rules = mine_quads(quads, params)
     out = graph_aware_rules(rules, quads)
+    # Stringify the graph-set arrays: the driver's pandas canonicalizer
+    # cannot sort list cells, so emit sorted comma-joined strings exactly
+    # like graph_aware_atom_sets does.
     return out.select(
-        "p", "q", "d1", "head_size", "support", "g_head", "g1"
+        "p", "q", "d1", "head_size", "support",
+        F.concat_ws(",", F.array_sort("g_head")).alias("g_head"),
+        F.concat_ws(",", F.array_sort("g1")).alias("g1"),
     )
 
 
