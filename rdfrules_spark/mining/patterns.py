@@ -30,7 +30,9 @@ Works on the canonical rule rows of mining/constants.mine_constants
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass, field
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -150,9 +152,15 @@ def filter_rules(
     head_col: str = "head",
     atoms_col: str = "atoms",
     predicate_graphs: dict | None = None,
+    max_body_atoms: int = 4,
 ) -> DataFrame:
     """Keep rules matching the pattern (see module docstring for exact
     semantics and golden pinning).
+
+    ``max_body_atoms``: position bound for the k>=3 injective-assignment
+    expansion (default 4 = maxRuleLength 5); bodies longer than this are
+    only matched at their first ``max_body_atoms`` positions, so raise it
+    when filtering longer rules.
 
     ``orderless`` (RulePattern.withOrderless, RulePattern.scala:36-44):
     pattern atoms may match ANY body atom — the default (gradual) mode
@@ -211,7 +219,185 @@ def filter_rules(
 
         cond = cond & (F.size(F.col("_a")) >= 2) & (pair(0, 1) | pair(1, 0))
     elif len(body) > 2:
-        raise NotImplementedError("max 2 body patterns (maxRuleLength 3)")
+        # k >= 3 body patterns (rules from maxRuleLength >= 4). Injective
+        # assignment of the k patterns to k distinct body positions,
+        # expanded as an OR over position permutations (bounded by
+        # max_body_atoms, so the expression stays a fixed-size JVM
+        # whole-stage-codegen predicate — no shuffle, no UDF).
+        #
+        # Semantics note (pinned vs the executed reference, see
+        # tests/test_pattern_filters.py): orderless and exact modes
+        # reproduce the reference's mining output EXACTLY (fixtures
+        # pat_o1/pat_e1). Gradual (ordered) matching for k >= 3 is
+        # generation-order-dependent in the reference (Amie.scala:206
+        # right-aligns the STORED body order of whichever refinement path
+        # reached the rule first, and intermediate rules must pass
+        # minHeadCoverage along that path) — irreproducible over a
+        # set-level ruleset, so gradual here is the order-free superset:
+        # injective assignment with at least one matched atom
+        # head-connected, the same law the k <= 2 goldens pinned.
+        k = len(body)
+        if k > max_body_atoms:
+            raise ValueError(
+                f"{k} body patterns > max_body_atoms={max_body_atoms}; "
+                "raise max_body_atoms to the ruleset's max body length"
+            )
+        perms = []
+        for perm in itertools.permutations(range(max_body_atoms), k):
+            atoms = [F.get(F.col("_a"), i) for i in perm]
+            m = F.size(F.col("_a")) > F.lit(max(perm))
+            for a, p in zip(atoms, body):
+                m = m & F.coalesce(_atom_match(a, p, pg_map), F.lit(False))
+            if not orderless:
+                m = m & F.coalesce(
+                    reduce(
+                        lambda x, y: x | y,
+                        [_head_connected(a, F.col("_h")) for a in atoms],
+                    ),
+                    F.lit(False),
+                )
+            perms.append(m)
+        cond = cond & (F.size(F.col("_a")) >= k) & reduce(
+            lambda x, y: x | y, perms
+        )
     if exact:
         cond = cond & (F.size(F.col(atoms_col)) == F.lit(len(body)))
     return out.where(cond).drop("_h", "_a")
+
+
+@dataclass
+class RulePattern:
+    """Rule pattern for the ruleset POST-filter (reference
+    ruleset/RulePattern.scala + Ruleset.scala:76-84). `body` atoms match
+    orderless-injectively (Ruleset.filter FORCES withOrderless()), `head`
+    constrains the head atom, `exact` pins rule length == len(body) + 1
+    (otherwise >=). Unlike the mining-time AtomPattern semantics of
+    filter_rules, concrete '?x' variables here are ALIASES
+    (RulePatternMatcher/PatternMatcher.Aliases): a pattern variable may
+    match ANY rule variable, but the pattern-var <-> rule-var mapping must
+    be a bijection across the head and all matched body atoms."""
+
+    body: list[AtomPattern] = field(default_factory=list)
+    head: AtomPattern | None = None
+    exact: bool = False
+
+
+def _is_pattern_var(t) -> bool:
+    return (
+        isinstance(t, str)
+        and t not in (ANY, ANY_VARIABLE, ANY_CONSTANT)
+        and t.startswith("?")
+    )
+
+
+def _struct_pattern(p: AtomPattern) -> AtomPattern:
+    """Structural part of an alias-mode pattern: a concrete '?x' only
+    requires the term to BE a variable; the binding itself is added as
+    alias-consistency constraints."""
+
+    def scrub(t):
+        return ANY_VARIABLE if _is_pattern_var(t) else t
+
+    return AtomPattern(
+        predicate=p.predicate,
+        predicate_none_of=p.predicate_none_of,
+        subject=scrub(p.subject),
+        object=scrub(p.object),
+        graph=p.graph,
+        graph_none_of=p.graph_none_of,
+    )
+
+
+def _var_pairs(p: AtomPattern, atom: Column) -> list[tuple[Column, str]]:
+    """(rule-term expression, pattern-variable name) pairs contributed by
+    one matched atom."""
+    s = F.split(atom, "\\|")[0]
+    o = F.split(atom, "\\|")[2]
+    out = []
+    if _is_pattern_var(p.subject):
+        out.append((s, p.subject))
+    if _is_pattern_var(p.object):
+        out.append((o, p.object))
+    return out
+
+
+def _alias_consistent(pairs: list[tuple[Column, str]]) -> Column:
+    """Bijection law of PatternMatcher.Aliases: equal pattern variables
+    must bind the same rule variable, distinct pattern variables distinct
+    rule variables."""
+    cond = F.lit(True)
+    for (t1, v1), (t2, v2) in itertools.combinations(pairs, 2):
+        if v1 == v2:
+            cond = cond & (t1 == t2)
+        else:
+            cond = cond & (t1 != t2)
+    return cond
+
+
+def filter_resolved(
+    rules: DataFrame,
+    patterns: list[RulePattern] | RulePattern,
+    head_col: str = "head",
+    atoms_col: str = "atoms",
+    predicate_graphs: dict | None = None,
+    max_body_atoms: int = 4,
+) -> DataFrame:
+    """Ruleset.filter(pattern, ...) of the reference (Ruleset.scala:76-84):
+    keep rules matching ANY of the given RulePatterns under
+    RulePatternMatcher semantics — length law (exact: len(body) ==
+    #pattern atoms, else >=), head-atom pattern, and orderless INJECTIVE
+    body matching with pattern-variable aliasing. Matched rule-for-rule
+    against the executed reference on the L4 yago ruleset
+    (tests/fixtures/refexec/pat_pf1..pf4, tests/test_pattern_filters.py).
+
+    Scale: the filter compiles to one OR-of-permutations predicate over
+    the atoms array — whole-stage-codegen, no shuffle, no Python row path;
+    position expansion bounded by ``max_body_atoms`` (default 4 =
+    maxRuleLength 5)."""
+    if isinstance(patterns, RulePattern):
+        patterns = [patterns]
+    pg_map = None
+    if predicate_graphs is not None:
+        entries = [
+            F.struct(
+                F.lit(p).alias("k"),
+                F.array(*[F.lit(g) for g in gs]).alias("v"),
+            )
+            for p, gs in sorted(predicate_graphs.items())
+        ]
+        pg_map = F.map_from_entries(F.array(*entries))
+
+    atoms = F.col(atoms_col)
+    head = F.col(head_col)
+    any_pattern = F.lit(False)
+    for rp in patterns:
+        k = len(rp.body)
+        if k > max_body_atoms:
+            raise ValueError(
+                f"{k} body patterns > max_body_atoms={max_body_atoms}; "
+                "raise max_body_atoms to the ruleset's max body length"
+            )
+        cond = F.size(atoms) == k if rp.exact else F.size(atoms) >= k
+        head_pairs: list[tuple[Column, str]] = []
+        if rp.head is not None:
+            cond = cond & _atom_match(head, _struct_pattern(rp.head), pg_map)
+            head_pairs = _var_pairs(rp.head, head)
+        if k == 0:
+            cond = cond & _alias_consistent(head_pairs)
+            any_pattern = any_pattern | cond
+            continue
+        assigns = []
+        for perm in itertools.permutations(range(max_body_atoms), k):
+            m = F.size(atoms) > F.lit(max(perm))
+            pairs = list(head_pairs)
+            for p, pos in zip(rp.body, perm):
+                a = F.get(atoms, pos)
+                m = m & F.coalesce(
+                    _atom_match(a, _struct_pattern(p), pg_map), F.lit(False)
+                )
+                pairs.extend(_var_pairs(p, a))
+            m = m & F.coalesce(_alias_consistent(pairs), F.lit(False))
+            assigns.append(m)
+        cond = cond & reduce(lambda x, y: x | y, assigns)
+        any_pattern = any_pattern | cond
+    return rules.where(any_pattern)

@@ -1346,9 +1346,7 @@ def q_mine_l3_3var_rules(spark, sf_dir):
 
 _L4_PREDS = "('join', 'scan', 'filter', 'hash')"
 
-@register(
-    "mine_l4_rules",
-    f"""
+_L4_ORACLE_SQL = f"""
     with {_KG_W_SQL},
     t as (select distinct concat('w:', s_surf) as s, p, concat('w:', o_surf) as o
           from w where p in {_L4_PREDS}),
@@ -1448,8 +1446,10 @@ _L4_PREDS = "('join', 'scan', 'filter', 'hash')"
            support / head_size as head_coverage
     from allr join heads on allr.p = heads.p
     where support >= 2 and support / head_size >= 0.1
-    """,
-)
+"""
+
+
+@register("mine_l4_rules", _L4_ORACLE_SQL)
 def q_mine_l4_rules(spark, sf_dir):
     """Length-4 (three-body-atom) var-only rules over the synthetic KG —
     the generic shape miner restricted to the reference-reachable L4
@@ -1481,6 +1481,52 @@ def q_mine_l4_rules(spark, sf_dir):
         r = mine_shape(t, heads, pairs, params)
         out = r if out is None else out.unionByName(r)
     return out
+
+
+@register(
+    "pattern_filter_l4",
+    f"""
+    with base as ({_L4_ORACLE_SQL})
+    select p, shape, body, head_size, support, head_coverage
+    from base
+    where list_sort(list_transform(string_split(body, ';'),
+                                   x -> string_split(x, ' ')[2]))
+          = ['filter', 'join', 'scan']
+    """,
+)
+def q_pattern_filter_l4(spark, sf_dir):
+    """Ruleset.filter with a 3-body-atom pattern (Ruleset.scala:76-84,
+    RulePatternMatcher.scala — orderless-injective with aliasing; full
+    semantics pinned vs the executed reference in
+    tests/test_pattern_filters.py): keep the L4 rules whose three body
+    atoms injectively match predicates {{join, scan, filter}}."""
+    from rdfrules_spark.mining.patterns import (
+        AtomPattern,
+        RulePattern,
+        filter_resolved,
+    )
+
+    base = q_mine_l4_rules(spark, sf_dir)
+
+    def slot_atom(s):
+        parts = F.split(s, " ")
+        u = F.substring(parts[0], 1, 1)
+        v = F.substring(parts[0], 2, 1)
+        fwd = F.concat(F.lit("?"), u, F.lit("|"), parts[1], F.lit("|?"), v)
+        rev = F.concat(F.lit("?"), v, F.lit("|"), parts[1], F.lit("|?"), u)
+        return F.when(parts[2] == "f", fwd).otherwise(rev)
+
+    rules = base.withColumn(
+        "head", F.concat(F.lit("?a|"), F.col("p"), F.lit("|?b"))
+    ).withColumn("atoms", F.transform(F.split("body", ";"), slot_atom))
+    pattern = RulePattern(body=[
+        AtomPattern(predicate="join"),
+        AtomPattern(predicate="scan"),
+        AtomPattern(predicate="filter"),
+    ])
+    return filter_resolved(rules, pattern).select(
+        "p", "shape", "body", "head_size", "support", "head_coverage"
+    )
 
 
 @register(
