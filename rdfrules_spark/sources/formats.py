@@ -31,12 +31,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rdfrules_spark.dictionary import term_kind
-from rdfrules_spark.sources.rdf import (
-    _TTL_TERM,
-    _ttl_expand,
-    _ttl_prefixes,
-    _ttl_statements,
-)
 
 _TRIPLE_SCHEMA = "s string, p string, o string"
 _QUAD_SCHEMA = "s string, p string, o string, g string"
@@ -48,108 +42,29 @@ def _whole_files(spark: SparkSession, path: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# TriG (Turtle + named graph blocks)
+# TriG (full Turtle grammar + named graph blocks, sources/turtle.py)
 # --------------------------------------------------------------------------
 
 
-def _ttl_triples(stmt: str, pfx: dict, base: str):
-    """One '.'-terminated Turtle statement -> (s, p, o) rows (shared with
-    sources/rdf.read_ttl: ';' predicate lists, ',' object lists, 'a')."""
-    parts = re.split(r"\s*;\s*", stmt)
-    subj = None
-    for pi, part in enumerate(parts):
-        ts = _TTL_TERM.findall(part)
-        if not ts:
-            continue
-        if pi == 0:
-            subj = _ttl_expand(ts[0], pfx, base)
-            ts = ts[1:]
-        if len(ts) < 2:
-            continue
-        pred = _ttl_expand(ts[0], pfx, base)
-        for obj in ts[1:]:
-            yield (subj, pred, _ttl_expand(obj, pfx, base))
-
-
-def _split_graph_blocks(text: str):
-    """TriG document -> (graph_label_or_None, chunk) pieces, splitting on
-    top-level '{'/'}' outside quoted literals and <> IRIs."""
-    i, n = 0, len(text)
-    buf = []
-    while i < n:
-        ch = text[i]
-        if ch == '"':
-            j = i + 1
-            while j < n and text[j] != '"':
-                j += 2 if text[j] == "\\" else 1
-            buf.append(text[i:j + 1])
-            i = j + 1
-        elif ch == "<":
-            j = text.find(">", i)
-            j = n - 1 if j < 0 else j
-            buf.append(text[i:j + 1])
-            i = j + 1
-        elif ch == "#":
-            j = text.find("\n", i)
-            i = n if j < 0 else j + 1
-        elif ch == "{":
-            head = "".join(buf)
-            # graph label = last term before '{' (optional GRAPH keyword);
-            # anything before it is default-graph turtle
-            m = re.search(r"(?:GRAPH\s+)?(\S+)\s*$", head, re.IGNORECASE)
-            label = m.group(1) if m else None
-            default_part = head[: m.start()] if m else head
-            if default_part.strip():
-                yield None, default_part
-            # find matching top-level '}' (no nesting in TriG)
-            depth, j = 1, i + 1
-            while j < n and depth:
-                cj = text[j]
-                if cj == '"':
-                    j += 1
-                    while j < n and text[j] != '"':
-                        j += 2 if text[j] == "\\" else 1
-                elif cj == "<":
-                    k = text.find(">", j)
-                    j = n - 1 if k < 0 else k
-                elif cj == "{":
-                    depth += 1
-                elif cj == "}":
-                    depth -= 1
-                j += 1
-            yield label, text[i + 1:j - 1]
-            buf = []
-            i = j
-        else:
-            buf.append(ch)
-            i += 1
-    tail = "".join(buf)
-    if tail.strip():
-        yield None, tail
-
-
 def read_trig(spark: SparkSession, path: str) -> DataFrame:
-    """TriG subset -> (s, p, o, g, okind): Turtle directives + named graph
-    blocks ``[GRAPH] <g> { ... }`` + default-graph statements (g='')."""
+    """Full-spec TriG -> (s, p, o, g, okind): the complete Turtle grammar
+    (sources/turtle.py — bnode property lists, collections, directives
+    anywhere) plus ``{ … }`` / ``<g> { … }`` / ``GRAPH <g> { … }`` blocks
+    and default-graph statements (g='')."""
 
     def parse(rows):
-        for r in rows:
-            text = r["value"]
-            pfx, base = _ttl_prefixes(text)
-            for label, chunk in _split_graph_blocks(text):
-                g = "" if label is None else _ttl_expand(label, pfx, base)
-                for stmt in _ttl_statements(chunk):
-                    if stmt.startswith("@") or stmt.lower().startswith(
-                        ("prefix ", "base ")
-                    ):
-                        continue
-                    yield from (
-                        (s, p, o, g) for s, p, o in _ttl_triples(stmt, pfx, base)
-                    )
+        import hashlib
 
-    out = spark.createDataFrame(
-        _whole_files(spark, path).rdd.mapPartitions(parse), _QUAD_SCHEMA
+        from rdfrules_spark.sources.turtle import parse_turtle
+
+        for r in rows:
+            salt = "-" + hashlib.md5(r["file"].encode()).hexdigest()[:8]
+            yield from parse_turtle(r["value"], salt=salt, trig=True)
+
+    files = _whole_files(spark, path).select(
+        "value", F.input_file_name().alias("file")
     )
+    out = spark.createDataFrame(files.rdd.mapPartitions(parse), _QUAD_SCHEMA)
     return out.withColumn("okind", term_kind(F.col("o")))
 
 
@@ -550,21 +465,35 @@ def _parse_inserts(text: str, meta: dict):
             yield from _row_triples(table, cols, vals)
 
 
+# explicit, loudly-enforced parse bounds (the reference streams these
+# formats single-threaded through JSqlParser; we bound instead of degrade)
+_CREATE_SCAN_BOUND = 100_000  # driver-collected CREATE-header lines
+_WHOLE_FILE_BOUND = 1 << 30  # 1 GiB of one-task whole-file SQL text
+
+
 def read_sql_dump(
     spark: SparkSession, path: str, per_line: bool = False
 ) -> DataFrame:
     """SQL dump -> (s, p, o, okind) triples with the reference's Sql.scala
     row semantics. ``per_line=True`` parses INSERT lines distributed
     (mysqldump one-statement-per-line layout); CREATE TABLE metadata is
-    always collected driver-side (schema-scale)."""
+    always collected driver-side (schema-scale, bounded by
+    ``_CREATE_SCAN_BOUND`` with a loud ValueError past it). Whole-file mode
+    refuses files over ``_WHOLE_FILE_BOUND`` instead of silently running a
+    multi-GiB single-task parse."""
     if per_line:
         lines = spark.read.text(path)
-        heads = "\n".join(
-            r["value"]
-            for r in lines.where(
-                F.upper("value").rlike("CREATE TABLE|PRIMARY KEY|FOREIGN KEY|REFERENCES|^\\s*`|\\)\\s*;?\\s*$")
-            ).limit(100_000).collect()
-        )
+        head_rows = lines.where(
+            F.upper("value").rlike("CREATE TABLE|PRIMARY KEY|FOREIGN KEY|REFERENCES|^\\s*`|\\)\\s*;?\\s*$")
+        ).limit(_CREATE_SCAN_BOUND + 1).collect()
+        if len(head_rows) > _CREATE_SCAN_BOUND:
+            raise ValueError(
+                f"read_sql_dump(per_line=True): more than "
+                f"{_CREATE_SCAN_BOUND} CREATE-TABLE header lines — the "
+                "driver-side schema scan would be unbounded; split the "
+                "dump or trim non-INSERT preamble"
+            )
+        heads = "\n".join(r["value"] for r in head_rows)
         meta = dict(
             t for t in (
                 _parse_create(s) for s in heads.split(";")
@@ -581,10 +510,18 @@ def read_sql_dump(
             lines.rdd.mapPartitions(parse_lines), _TRIPLE_SCHEMA
         )
     else:
+        whole_bound = _WHOLE_FILE_BOUND  # captured by value for executors
 
         def parse_files(rows):
             for r in rows:
                 text = r["value"]
+                if len(text) > whole_bound:
+                    raise ValueError(
+                        f"read_sql_dump: file exceeds the whole-file parse "
+                        f"bound ({whole_bound} bytes) — use "
+                        "per_line=True for mysqldump-style "
+                        "one-statement-per-line dumps"
+                    )
                 meta = dict(
                     t for t in (
                         _parse_create(s) for s in text.split(";")

@@ -8,15 +8,12 @@ each N-Triples/N-Quads line is a self-contained statement, so the parse is
 embarrassingly parallel and whole-stage-codegen'd; .gz/.bz2 ride Spark's
 codec support transparently, matching core:data/Compression.scala).
 
-Turtle is NOT line-oriented (prefix state, ';'/',' continuations), so the
-TTL reader parses per-partition with a small stateful parser over
-statements split on terminal '.'; directive state (@prefix/@base) is
-collected in a cheap first pass (directives legally precede use; we
-broadcast the full prefix map). Multi-line statements are handled inside a
-partition; a statement split across partition boundaries is only possible
-when a single file is split — pass ``single_partition=True`` (or keep TTL
-files under the partition size) for such files. Nested blank-node property
-lists and collections are out of scope and raise.
+Turtle is NOT line-oriented (directive state, ';'/',' continuations,
+multi-line strings), so the TTL reader parses per-FILE with the full
+Turtle 1.1 grammar (sources/turtle.py — directives anywhere, blank-node
+property lists, collections, long strings). A directory of TTL files
+parses fully parallel; a single giant file is one task, exactly like
+Jena RIOT's one-stream-per-file model.
 
 Term encoding matches the TSV reader: URIs bare (no angle brackets),
 blank nodes keep the ``_:`` sigil, plain/lang literals keep their lexical
@@ -95,127 +92,30 @@ def read_nq(spark: SparkSession, path: str) -> DataFrame:
     return out.withColumn("okind", term_kind(F.col("o")))
 
 
-_TTL_TERM = re.compile(
-    r"""(<[^>]*>|_:[^\s;,\]]+|"(?:[^"\\]|\\.)*"(?:\^\^[^\s;,]+|@[A-Za-z0-9-]+)?|[A-Za-z][\w.-]*:[\w.%-]*|:[\w.%-]+|a\b|[0-9][\w.+-]*|true|false)\s*""",
-)
-_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
-
-
-def _ttl_statements(text: str):
-    """Split a Turtle chunk into '.'-terminated statements, respecting
-    quoted literals and <>-wrapped IRIs."""
-    buf, i, n = [], 0, len(text)
-    while i < n:
-        ch = text[i]
-        if ch == '"':
-            j = i + 1
-            while j < n and text[j] != '"':
-                j += 2 if text[j] == "\\" else 1
-            buf.append(text[i:j + 1])
-            i = j + 1
-        elif ch == "<":
-            j = text.find(">", i)
-            j = n - 1 if j < 0 else j
-            buf.append(text[i:j + 1])
-            i = j + 1
-        elif ch == "#":
-            j = text.find("\n", i)
-            i = n if j < 0 else j + 1
-        elif ch == ".":
-            nxt = text[i + 1] if i + 1 < n else " "
-            if nxt.isspace() or nxt == "":
-                stmt = "".join(buf).strip()
-                if stmt:
-                    yield stmt
-                buf = []
-                i += 1
-            else:
-                buf.append(ch)
-                i += 1
-        else:
-            buf.append(ch)
-            i += 1
-    tail = "".join(buf).strip()
-    if tail:
-        yield tail
-
-
-def _ttl_prefixes(text: str) -> tuple[dict, str]:
-    prefixes, base = {}, ""
-    for m in re.finditer(
-        r"@prefix\s+([\w.-]*):\s*<([^>]*)>\s*\.|@base\s*<([^>]*)>\s*\.",
-        text,
-    ):
-        if m.group(3) is not None:
-            base = m.group(3)
-        else:
-            prefixes[m.group(1)] = m.group(2)
-    return prefixes, base
-
-
-def _ttl_expand(term: str, prefixes: dict, base: str) -> str:
-    if term.startswith("<"):
-        iri = term[1:-1]
-        return base + iri if base and "://" not in iri else iri
-    if term == "a":
-        return _RDF_TYPE
-    if term.startswith('"'):
-        m = re.match(r'^"((?:[^"\\]|\\.)*)"', term)
-        return m.group(1).replace('\\"', '"').replace("\\\\", "\\")
-    if term.startswith("_:") or re.match(r"^[0-9]|^true$|^false$", term):
-        return term
-    if ":" in term:
-        pfx, local = term.split(":", 1)
-        if pfx in prefixes:
-            return prefixes[pfx] + local
-    return term
-
-
 def read_ttl(
     spark: SparkSession, path: str, single_partition: bool = False
 ) -> DataFrame:
-    """Turtle subset -> (s, p, o, okind): @prefix/@base, prefixed names,
-    'a', ';' predicate lists and ',' object lists. See module docstring for
-    the partition-boundary caveat."""
-    raw = spark.read.text(path)
-    if single_partition:
-        raw = raw.coalesce(1)
-    full_text_head = "\n".join(
-        r["value"] for r in raw.limit(2000).collect()
+    """Full-spec Turtle -> (s, p, o, okind): directives anywhere
+    (@prefix/@base + SPARQL PREFIX/BASE), blank-node property lists,
+    collections, all string/numeric forms — sources/turtle.py. The
+    parallelism unit is the FILE (wholetext), matching Jena RIOT's
+    one-stream-per-file model; ``single_partition`` is accepted for
+    back-compat and is a no-op (per-file parsing is always
+    statement-safe)."""
+    del single_partition
+    from rdfrules_spark.sources.turtle import parse_turtle
+
+    raw = spark.read.text(path, wholetext=True).select(
+        "value", F.input_file_name().alias("file")
     )
-    prefixes, base = _ttl_prefixes(full_text_head)
-    bc = spark.sparkContext.broadcast((prefixes, base))
 
     def parse_partition(rows):
-        pfx, bs = bc.value
-        text = "\n".join(r["value"] for r in rows)
-        for stmt in _ttl_statements(text):
-            if stmt.startswith("@"):
-                continue
-            terms = _TTL_TERM.findall(stmt)
-            no_lit = re.sub(r'"(?:[^"\\]|\\.)*"', "", stmt)
-            if "[" in no_lit or "(" in no_lit:
-                raise NotImplementedError(
-                    "TTL blank-node property lists / collections are not "
-                    "supported by this subset reader"
-                )
-            if not terms:
-                continue
-            # s (p o (, o)*) (; p o (, o)*)*
-            parts = re.split(r"\s*;\s*", stmt)
-            subj = None
-            for pi, part in enumerate(parts):
-                ts = _TTL_TERM.findall(part)
-                if not ts:
-                    continue
-                if pi == 0:
-                    subj = _ttl_expand(ts[0], pfx, bs)
-                    ts = ts[1:]
-                if len(ts) < 2:
-                    continue
-                pred = _ttl_expand(ts[0], pfx, bs)
-                for obj in ts[1:]:
-                    yield (subj, pred, _ttl_expand(obj, pfx, bs))
+        import hashlib
+
+        for r in rows:
+            salt = "-" + hashlib.md5(r["file"].encode()).hexdigest()[:8]
+            for s, p, o, _g in parse_turtle(r["value"], salt=salt):
+                yield (s, p, o)
 
     out = spark.createDataFrame(
         raw.rdd.mapPartitions(parse_partition),

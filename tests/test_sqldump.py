@@ -5,6 +5,8 @@ semantics."""
 
 from __future__ import annotations
 
+import pytest
+
 from rdfrules_spark.sources.formats import read_sql_dump
 
 DUMP = """-- test dump
@@ -50,3 +52,23 @@ def test_read_sql_dump(spark, tmp_path):
     assert got == EXPECTED
 
 
+
+
+def test_whole_file_bound_errors_loudly(spark, tmp_path, monkeypatch):
+    from rdfrules_spark.sources import formats
+
+    monkeypatch.setattr(formats, "_WHOLE_FILE_BOUND", 10)
+    path = tmp_path / "big.sql"
+    path.write_text(DUMP, encoding="utf-8")
+    with pytest.raises(Exception, match="whole-file parse"):
+        formats.read_sql_dump(spark, str(path)).collect()
+
+
+def test_create_scan_bound_errors_loudly(spark, tmp_path, monkeypatch):
+    from rdfrules_spark.sources import formats
+
+    monkeypatch.setattr(formats, "_CREATE_SCAN_BOUND", 2)
+    path = tmp_path / "dump.sql"
+    path.write_text(DUMP, encoding="utf-8")
+    with pytest.raises(ValueError, match="CREATE-TABLE header lines"):
+        formats.read_sql_dump(spark, str(path), per_line=True)
