@@ -483,3 +483,187 @@ def rule_parents(rules: DataFrame) -> DataFrame:
         F.col("_pd").alias("parent_d1"),
     )
     return edges.distinct()
+
+
+# -- TreeBasedDbScan (hierarchical online clustering) -------------------------
+
+def _py_atom_sim(a: str, b: str) -> float:
+    """atomsSimilarity (SimilarityCounting.scala:46-61) over resolved atom
+    strings 's|p|o' (items '?v' or 'C=<const>') — Python twin of the column
+    expression `_atom_sim` above, for the inherently-sequential tree
+    insertion below."""
+    sa, pa, oa = a.split("|", 2)
+    sb, pb, ob = b.split("|", 2)
+    same_p = pa == pb
+
+    def item(x: str, y: str) -> float:
+        xc, yc = x.startswith("C="), y.startswith("C=")
+        if same_p:
+            if not xc and not yc:
+                return 1.0
+            if xc and yc:
+                return 1.0 if x == y else 0.0
+            return 0.5
+        return 1.0 if (xc and yc and x == y) else 0.0
+
+    return (1.0 if same_p else 0.0) + item(sa, sb) + item(oa, ob)
+
+
+def _py_all_atoms_sim(rule_a, rule_b) -> float:
+    """AllAtomsSimilarityCounting.apply (SimilarityCounting.scala:63-110):
+    head similarity + the best injective assignment of the SHORTER body
+    onto the longer one, normalized by 3 * (shorter rule length)."""
+    import itertools
+
+    (ha, ba), (hb, bb) = rule_a, rule_b
+    if len(ba) > len(bb):
+        main, sec, hm, hs = ba, bb, ha, hb
+    else:
+        main, sec, hm, hs = bb, ba, hb, ha
+    max_matches = (len(sec) + 1) * 3
+    head_sim = _py_atom_sim(hm, hs)
+    best = max(
+        sum(_py_atom_sim(main[i], sec[j]) for j, i in enumerate(perm))
+        for perm in itertools.permutations(range(len(main)), len(sec))
+    )
+    return (best + head_sim) / max_matches
+
+
+class _TreeCluster:
+    """One node of the TreeBasedDbScan tree (TreeBasedDbScan.scala): a
+    cluster with a main element, gathered members, and `arity` child
+    cluster slots."""
+
+    __slots__ = ("main", "elems", "children")
+
+    def __init__(self, main, arity: int):
+        self.main = main
+        self.elems: list = []
+        self.children: list = [None] * arity
+
+    def similarity(self, elem, deep_sim: bool, sim) -> float:
+        s = sim(self.main[1], elem[1])
+        if deep_sim and self.elems:
+            return max(s, max(sim(e[1], elem[1]) for e in self.elems))
+        return s
+
+
+def _tree_insert(children, elem, arity, threshold, deep_sim, sim):
+    """Node.recAddToChildren: pick the max-similarity child slot (an empty
+    slot scores exactly `threshold`; Scala maxBy keeps the FIRST maximum),
+    create/join/descend."""
+    while True:
+        best_i, best_s = 0, None
+        for i in range(arity):
+            child = children[i]
+            s = threshold if child is None else child.similarity(
+                elem, deep_sim, sim
+            )
+            if best_s is None or s > best_s:
+                best_i, best_s = i, s
+        child = children[best_i]
+        if child is None:
+            children[best_i] = _TreeCluster(elem, arity)
+            return
+        if best_s >= threshold:
+            child.elems.append(elem)
+            return
+        children = child.children
+
+
+def _tree_clusters(children):
+    """Node.clusters: stack-of-iterators DFS over the cluster tree,
+    yielding each cluster's element list (main first)."""
+    stack = [[c for c in children if c is not None]]
+    pos = [0]
+    while stack:
+        level, i = stack[-1], pos[-1]
+        if i >= len(level):
+            break  # mirrors the Scala iterator's hasNext-on-top-only law
+        cluster = level[i]
+        pos[-1] += 1
+        yield [cluster.main] + cluster.elems
+        if pos[-1] >= len(stack[-1]):
+            stack.pop()
+            pos.pop()
+        kids = [c for c in cluster.children if c is not None]
+        if kids:
+            stack.append(kids)
+            pos.append(0)
+
+
+#: tree clustering is inherently sequential (online insertion) and runs
+#: driver-side like the reference's in-memory IndexedSeq — bound it loudly
+MAX_TREE_RULES = 100_000
+
+
+def tree_dbscan_clusters_resolved(
+    rules: DataFrame,
+    arity: int = 2,
+    min_similarity: float = 0.8,
+    deep_sim: bool = False,
+    grouped_by_head: bool = True,
+    order_cols: list | None = None,
+    max_rules: int = MAX_TREE_RULES,
+) -> DataFrame:
+    """makeClusters(TreeBasedDbScan()) (TreeBasedDbScan.scala, defaults
+    arity=2 simThreshold=0.8 deepSim=false; AllAtoms similarity,
+    Rule.scala:112; grouped by head predicate, Ruleset.scala:230-245):
+    ONLINE hierarchical insertion — each rule goes to the most-similar
+    child cluster of the current node (empty slot counts simThreshold),
+    joining it when similarity >= threshold, else descending. The result is
+    ORDER-DEPENDENT by construction, so insertion order is pinned by
+    ``order_cols`` (default: head_coverage DESC then head, atoms — the
+    reference clusters its sorted in-memory ruleset).
+
+    Scale: the algorithm is sequential by definition (the reference runs it
+    on a driver-side IndexedSeq too); this collects at most ``max_rules``
+    rules (loud ValueError past that) and joins the labels back
+    broadcast-style. Cluster ids are deterministic: DFS order within each
+    head-predicate group, groups in lexicographic head order."""
+    cols = rules.columns
+    if order_cols is None:
+        order = (
+            [F.desc("head_coverage")] if "head_coverage" in cols else []
+        ) + [F.col("head"), F.col("atoms")]
+    else:
+        order = [F.col(c) for c in order_cols]
+    n = rules.count()
+    if n > max_rules:
+        raise ValueError(
+            f"tree_dbscan_clusters_resolved: {n} rules > max_rules="
+            f"{max_rules}; tree clustering is sequential — shrink the "
+            "ruleset (e.g. topK) or raise max_rules explicitly"
+        )
+    rows = (
+        rules.withColumn("rid", _resolved_rid())
+        .select("rid", "head", "atoms", *[c for c in cols if c not in
+                                          ("head", "atoms")])
+        .orderBy(*order)
+        .collect()
+    )
+    sim = _py_all_atoms_sim
+    groups: dict[str, list] = {}
+    for r in rows:
+        key = r["head"].split("|")[1] if grouped_by_head else ""
+        groups.setdefault(key, []).append(
+            (r["rid"], (r["head"], tuple(r["atoms"])))
+        )
+    labels: dict[str, int] = {}
+    next_id = 0
+    for key in sorted(groups):
+        children = [None] * arity
+        for elem in groups[key]:
+            _tree_insert(children, elem, arity, min_similarity, deep_sim, sim)
+        for cluster in _tree_clusters(children):
+            for rid, _ in cluster:
+                # first assignment wins (rids are unique per canonical rule)
+                labels.setdefault(rid, next_id)
+            next_id += 1
+    spark = rules.sparkSession
+    label_df = spark.createDataFrame(
+        list(labels.items()), "rid string, cluster long"
+    )
+    return rules.withColumn("rid", _resolved_rid()).join(
+        F.broadcast(label_df), "rid", "left"
+    )

@@ -17,15 +17,79 @@ from rdfrules_spark.dictionary import term_kind
 
 
 def read_tsv(
-    spark: SparkSession, path: str, parse_uris: bool = True
+    spark: SparkSession, path: str, parse_uris: bool = True,
+    parse_literals: bool = False,
 ) -> DataFrame:
-    """-> triples_str(s, p, o, okind)."""
+    """-> triples_str(s, p, o, okind).
+
+    ``parse_literals=True`` is the reference's ParsedLiterals mode
+    (Tsv.scala parseLiteral + parseTriple line law: the LINE is trimmed
+    before splitting — a leading tab like yagoFacts.tsv's id column
+    vanishes — fields are trimmed, and only exactly-3-field lines parse;
+    quoted literals lose their quotes, ``"lex"^^dt`` keeps the inner
+    lexical form). Distributed text scan either way — no driver parsing."""
+    strip = lambda c: F.regexp_replace(  # noqa: E731
+        F.regexp_replace(c, r"\.\s*$", ""), r"^<|>$", ""
+    )
+    if parse_literals:
+        # Scala String.trim strips ALL chars <= 0x20 (incl. tabs) — Spark's
+        # trim() only strips spaces, so use a regex whitespace strip
+        wtrim = lambda c: F.regexp_replace(c, r"^\s+|\s+$", "")  # noqa: E731
+        parts = F.split(wtrim(F.col("value")), "\t")
+        raw = (
+            spark.read.text(path)
+            .select(F.transform(parts, wtrim).alias("a"))
+            .where(F.size("a") == 3)
+            .select(
+                F.col("a")[0].alias("s"),
+                F.col("a")[1].alias("p"),
+                F.regexp_replace(F.col("a")[2], r"\.\s*$", "").alias("o"),
+            )
+        )
+        o = F.col("o")
+
+        def canon_number(c):
+            """stringToNumber + BasicFunctions.parseNumber: candidate
+            strings (digit/'-' head) parse Int-else-Double (decimal point
+            forces Double) and print via toString — '413800000000'
+            overflows Int and becomes '4.138E11', '01' becomes '1'. The
+            double->string cast is Java Double.toString in Spark too."""
+            int_form = c.rlike(r"^-?\d+$")
+            as_long = c.cast("long")
+            fits_int = (
+                int_form
+                & as_long.isNotNull()
+                & (as_long >= -2147483648)
+                & (as_long <= 2147483647)
+            )
+            dbl_form = c.rlike(r"^-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+            as_dbl = c.cast("double")
+            return (
+                F.when(fits_int, as_long.cast("string"))
+                .when(dbl_form & as_dbl.isNotNull(), as_dbl.cast("string"))
+                .otherwise(c)
+            )
+
+        # `"lex"^^datatype` -> lex, number-canonicalized (greedy group =
+        # lastIndexOf('"^^')); `"text"` -> text (stripMargins incl. trim);
+        # bare number-candidates canonicalized; else verbatim
+        typed = F.regexp_extract(o, r'^"(.*)"\^\^.*$', 1)
+        quoted = F.trim(F.regexp_extract(o, r'^"(.*)"$', 1))
+        obj = (
+            F.when(o.rlike(r'^".*"\^\^'), canon_number(typed))
+            .when(o.rlike(r'^".*"$'), quoted)
+            .when(o.rlike(r"^[-0-9]"), canon_number(strip(o)))
+            .otherwise(strip(o))
+        )
+        df = raw.select(
+            strip(F.col("s")).alias("s"),
+            strip(F.col("p")).alias("p"),
+            obj.alias("o"),
+        )
+        return df.withColumn("okind", term_kind(F.col("o")))
     raw = (
         spark.read.option("sep", "\t")
         .csv(path, schema="s string, p string, o string")
-    )
-    strip = lambda c: F.regexp_replace(  # noqa: E731
-        F.regexp_replace(c, r"\.\s*$", ""), r"^<|>$", ""
     )
     if parse_uris:
         df = raw.select(
