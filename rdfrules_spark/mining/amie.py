@@ -75,6 +75,21 @@ class MiningParams:
     #: a deterministic SAMPLE of head triples and scale supports by
     #: 1/fraction (supportIncreaseRatio). Approximate by design; None = exact.
     head_sample_fraction: float | None = None
+    #: Per-rule LocalTimeout margin error (Threshold.LocalTimeout(me, dme),
+    #: AnytimeRefinement.SamplesChecker): the reference stops a rule's
+    #: head-triple scan once the processed count i reaches the Wald
+    #: sample-size bound hc*(1-hc)*(1.96/me)^2 and scales supports by
+    #: headSupport/i. Set-based analog: every head predicate's triples are
+    #: deterministically hash-sampled to the hc=0.5 WORST-CASE bound
+    #: n = 0.25*(1.96/me)^2 (the binding case of the reference's stopper,
+    #: so every rule's +-me @95% guarantee holds or is exceeded) and
+    #: supports are scaled by the realized per-predicate ratio. None = exact.
+    local_timeout_me: float | None = None
+    #: dme mode (LocalTimeout.dme): the margin shrinks for rare rules,
+    #: me_eff(hc) = min(-me/log10(hc), me) — conservatively bounded at
+    #: hc = min_head_coverage (every retained rule has hc >= that), which
+    #: only ever INCREASES the sample size.
+    local_timeout_dme: bool = False
     #: Spec switch for L4+ shape construction (tools/refexec/README.md):
     #: False = published spec (the AmieSpec maxLen-4 golden of 98 rules,
     #: which excludes shapes needing two simultaneously-open extra
@@ -133,9 +148,46 @@ def head_sizes(triples: DataFrame, params: MiningParams) -> DataFrame:
     return hs
 
 
+def _lt_cap(params: MiningParams) -> int:
+    """Wald sample-size bound of the per-rule LocalTimeout stopper
+    (AnytimeRefinement.SamplesChecker): n >= hc*(1-hc)*(1.96/me)^2, taken
+    at the hc=0.5 worst case so the +-me @95% guarantee holds for EVERY
+    rule. dme mode (LocalTimeout.calcMer with me_eff = min(-me/log10(hc),
+    me)) shrinks the margin for rare rules — bounded at hc =
+    min_head_coverage, below which rules are dropped anyway."""
+    import math
+
+    me = params.local_timeout_me
+    if params.local_timeout_dme:
+        hc = max(params.min_head_coverage, 1e-12)
+        if hc < 0.1:
+            me = min(-me / math.log10(hc), me)
+    return max(2, math.ceil(0.25 * (1.96 / me) ** 2))
+
+
+def _lt_sample_cond(params: MiningParams, a, p, b, head_size):
+    """Deterministic per-head-predicate sample: keep a head triple iff
+    hash % head_size < cap — expected min(cap, head_size) triples, no
+    shuffle, no window (scale-safe at any predicate skew)."""
+    from rdfrules_spark.functions.hashing import h60
+
+    cap = _lt_cap(params)
+    return (h60(F.concat_ws("|", a, p, b)) % head_size) < F.lit(cap)
+
+
 def _head_rel(triples: DataFrame, params: MiningParams, a: str, b: str) -> DataFrame:
     """Head-triple relation (a, b, p) with injective reflexive exclusion
-    and optional deterministic head sampling (LocalTimeout analog)."""
+    and optional deterministic head sampling (LocalTimeout analogs:
+    global-fraction `head_sample_fraction`, or per-rule margin-error
+    `local_timeout_me` — see MiningParams)."""
+    if (
+        params.head_sample_fraction is not None
+        and params.local_timeout_me is not None
+    ):
+        raise ValueError(
+            "head_sample_fraction and local_timeout_me are mutually "
+            "exclusive sampling modes"
+        )
     h = triples.select(F.col("s").alias(a), F.col("o").alias(b), "p")
     if params.injective:
         h = h.where(F.col(a) != F.col(b))
@@ -147,12 +199,50 @@ def _head_rel(triples: DataFrame, params: MiningParams, a: str, b: str) -> DataF
             (h60(F.concat_ws("|", a, "p", b)) % 1_000_000)
             < int(frac * 1_000_000)
         )
+    if params.local_timeout_me is not None:
+        sizes = h.groupBy("p").agg(F.count(F.lit(1)).alias("_hs"))
+        h = (
+            h.join(F.broadcast(sizes), "p")
+            .where(_lt_sample_cond(params, F.col(a), F.col("p"), F.col(b),
+                                   F.col("_hs")))
+            .drop("_hs")
+        )
     return h
 
 
-def _scale_support(agg: DataFrame, params: MiningParams) -> DataFrame:
+def _lt_ratios(triples: DataFrame, params: MiningParams) -> DataFrame:
+    """Per-predicate supportIncreaseRatio = head_size / realized sample
+    size, from the SAME deterministic filter _head_rel applies."""
+    h = triples.select(F.col("s").alias("_a"), F.col("o").alias("_b"), "p")
+    if params.injective:
+        h = h.where(F.col("_a") != F.col("_b"))
+    full = h.groupBy("p").agg(F.count(F.lit(1)).alias("_full"))
+    sampled = (
+        h.join(F.broadcast(full), "p")
+        .where(_lt_sample_cond(params, F.col("_a"), F.col("p"), F.col("_b"),
+                               F.col("_full")))
+        .groupBy("p").agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return full.join(sampled, "p").select(
+        "p", (F.col("_full") / F.col("_n")).alias("_ratio")
+    )
+
+
+def _scale_support(
+    agg: DataFrame, params: MiningParams, triples: DataFrame | None = None
+) -> DataFrame:
     """supportIncreaseRatio: scale sampled supports back up (Bootstrapper
     semantics — round to int like the reference's math.round)."""
+    if params.local_timeout_me is not None and triples is not None:
+        ratios = _lt_ratios(triples, params)
+        return (
+            agg.join(F.broadcast(ratios), "p")
+            .withColumn(
+                "support",
+                F.round(F.col("support") * F.col("_ratio")).cast("long"),
+            )
+            .drop("_ratio")
+        )
     if params.head_sample_fraction is None:
         return agg
     return agg.withColumn(
@@ -203,6 +293,7 @@ def mine_l2(triples: DataFrame, heads: DataFrame, params: MiningParams) -> DataF
             F.count(F.lit(1)).alias("support")  # head triples are distinct pairs
         ),
         params,
+        triples,
     )
     p_type = dict(triples.dtypes)["p"]
     agg = agg.select(
@@ -238,6 +329,7 @@ def mine_l3_2var(triples: DataFrame, heads: DataFrame, params: MiningParams) -> 
             F.count(F.lit(1)).alias("support")
         ),
         params,
+        triples,
     )
     agg = agg.select(
         "p", F.lit("l3v2").alias("shape"), "q", "d1", "r", "d2", "support"
@@ -282,6 +374,7 @@ def mine_l3_3var(
             F.countDistinct("a", "b").alias("support")
         ),
         params,
+        triples,
     )
     agg = agg.select(
         "p", F.lit("l3v3").alias("shape"), "q", "d1", "r", "d2", "support"
@@ -343,6 +436,7 @@ def mine(triples: DataFrame, params: MiningParams | None = None) -> DataFrame:
                 F.count(F.lit(1)).alias("support")
             ),
             params,
+            triples,
         ).select(
             "p", F.lit("l2").alias("shape"), "q", "d1",
             F.lit(None).cast(p_type).alias("r"),
@@ -362,6 +456,7 @@ def mine(triples: DataFrame, params: MiningParams | None = None) -> DataFrame:
                 F.count(F.lit(1)).alias("support")
             ),
             params,
+            triples,
         ).select("p", F.lit("l3v2").alias("shape"), "q", "d1", "r", "d2",
                  "support")
         rules = rules.unionByName(_finish(agg3, heads, params))

@@ -359,7 +359,7 @@ def mine_shape(
     label_cols = [c for i in range(n) for c in (f"q{i}", f"d{i}")]
     agg = _scale_support(
         cur.groupBy("p", "head_size", *label_cols)
-        .agg(F.countDistinct("a", "b").alias("support")), params)
+        .agg(F.countDistinct("a", "b").alias("support")), params, triples)
     agg = (
         agg
         .withColumn("head_coverage", F.col("support") / F.col("head_size"))

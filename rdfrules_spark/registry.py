@@ -2895,3 +2895,37 @@ def q_http_pipeline_histogram(spark, sf_dir):
          "parameters": {"or": [{"graph": "^orders$"}]}},
         {"name": "Histogram", "parameters": {"predicate": True}},
     ])
+
+
+@register(
+    "refcache_roundtrip",
+    """
+    select n_name as s, 'ex:inRegion' as p,
+           concat('region:', r_name) as o, 'uri' as okind, '' as g
+    from nation join region on n_regionkey = r_regionkey
+    """,
+)
+def q_refcache_roundtrip(spark, sf_dir):
+    """Reference BINARY .cache writer -> reader round-trip (core:data/ops/
+    Cacheable.scala + serialization/QuadSerialization.scala) against
+    relational truth; the same byte format is pinned byte-identical to the
+    executed reference's own artifact in tests/test_refcache.py."""
+    import tempfile
+
+    from rdfrules_spark.sources.refcache import (
+        read_dataset_cache, write_dataset_cache,
+    )
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    df = nation.join(
+        region, nation.n_regionkey == region.r_regionkey
+    ).select(
+        F.col("n_name").alias("s"),
+        F.lit("ex:inRegion").alias("p"),
+        F.concat(F.lit("region:"), F.col("r_name")).alias("o"),
+        F.lit("uri").alias("okind"),
+    )
+    path = tempfile.mkdtemp(prefix="rdfrules_refcache_") + "/data.cache"
+    write_dataset_cache(df, path)
+    return read_dataset_cache(spark, path).select("s", "p", "o", "okind", "g")
