@@ -236,17 +236,29 @@ def mine_constants(
     the same count restricted by the other body atom."""
     params = params or MiningParams()
     ndt = not quasi_binding  # distinct-triple support law (published spec)
+    inj = params.injective
 
     def _ndt(cond):
-        """Triple-identity inequality — active only in the published spec
-        (the executed reference counts support plainly)."""
-        return cond if ndt else F.lit(True)
+        """Triple-identity inequality — active in the published spec AND
+        under InjectiveMapping (VariableMap.InjectiveMapping tracks used
+        instantiated atoms and AtomCounting.scala:360-387 rejects a reused
+        triple; the executed reference otherwise counts support plainly)."""
+        return cond if (ndt or inj) else F.lit(True)
+
+    def _inj(cond):
+        """Pairwise-distinct variable VALUES (AtomCounting.scala:360:
+        binding a fresh variable fails if its value equals any bound one —
+        rule constants never enter the map, so no var-vs-constant test)."""
+        return cond if inj else F.lit(True)
     if params.only_predicates is not None:
         triples = triples.where(F.col("p").isin(params.only_predicates))
     if params.without_predicates is not None:
         triples = triples.where(~F.col("p").isin(params.without_predicates))
 
-    heads = triples.groupBy("p").agg(F.count(F.lit(1)).alias("head_size"))
+    # size(injectiveMapping): non-reflexive triple count under injective
+    # (TripleHashIndex.scala:61-66)
+    ht = triples.where(F.col("s") != F.col("o")) if inj else triples
+    heads = ht.groupBy("p").agg(F.count(F.lit(1)).alias("head_size"))
     heads = heads.where(F.col("head_size") >= params.min_head_size)
 
     b = _b(triples).withColumn("tid", _btid())
@@ -265,7 +277,7 @@ def mine_constants(
         ca_alone = ca.join(ca_ok, ["q2", "cst", "e"], "left_semi")
     else:
         ca_alone = ca
-    h0 = triples.join(F.broadcast(heads.select("p")), "p").select(
+    h0 = ht.join(F.broadcast(heads.select("p")), "p").select(
         "p", F.col("s").alias("a"), F.col("o").alias("bb"),
         F.xxhash64("s", "p", "o").alias("htid"),
     )
@@ -338,6 +350,8 @@ def mine_constants(
             .join(b2, ["bb", "c"])
             .where(_ndt((F.col("tid2") != F.col("htid"))
                         & (F.col("tid1") != F.col("tid2"))))
+            .where(_inj((F.col("c") != F.col("a"))
+                        & (F.col("c") != F.col("bb"))))
         )
         l3v3 = j3.groupBy("p", "q", "d1", "r", "d2").agg(
             F.countDistinct("a", "bb").alias("support")
@@ -370,11 +384,18 @@ def mine_constants(
                     # count is the law, not alone(CA).
                     bx = b.select(
                         F.col("x").alias("_va"), F.col("y").alias("_vb"),
-                        "q", "d",
+                        "q", "d", F.col("tid").alias("_vt"),
                     )
                     s4_ok = (
                         bx.join(ca, bx["_va" if key == "a" else "_vb"]
                                 == ca["x"])
+                        # the joint is counted with the SAME VariableMap
+                        # the QuasiBindingFilter uses: under injective the
+                        # two variables are distinct and the two body
+                        # triples distinct (RuleFilter.scala:334 passes
+                        # injectiveMapping into countDistinctPairs)
+                        .where(_inj((F.col("_va") != F.col("_vb"))
+                                    & (F.col("_vt") != F.col("ctid"))))
                         .groupBy("q", "d", "q2", "cst", "e")
                         .agg(F.countDistinct("x").alias("_nj"))
                         .where(F.col("_nj") >= 2)
@@ -412,9 +433,48 @@ def mine_constants(
                 .join(ca_alone, F.col("bb") == ca_alone["x"])
                 .where(_ndt((F.col("ctid") != F.col("htid"))
                             & (F.col("ctid") != F.col("ctida"))))
+                .where(_inj(F.col("a") != F.col("bb")))
                 .groupBy("p", "qa", "csta", "ea", "q2", "cst", "e")
                 .agg(F.countDistinct("a", "bb").alias("support"))
             )
+            if quasi_binding and inj:
+                # Injective quasi-binding for {CAa, CAb}: the second atom's
+                # joint count must reach 2 in SOME generation order, with
+                # the injective VariableMap (var distinctness + triple
+                # distinctness). The joint deficit vs alone() exists ONLY
+                # when both atoms' entity sets are exactly {cstA, cstB}
+                # with the pair cross-oriented on one predicate (then both
+                # orders bottom out at joint == 1) — a closed kill set of
+                # atom pairs, anti-joined here.
+                ca2 = (
+                    ca.groupBy("q2", "cst", "e")
+                    .agg(F.countDistinct("x").alias("_n"),
+                         F.array_sort(F.collect_set("x")).alias("_xs"))
+                    .where(F.col("_n") == 2)
+                )
+                kill = (
+                    ca2.alias("k1")
+                    .join(ca2.alias("k2"),
+                          (F.col("k1.q2") == F.col("k2.q2"))
+                          & (F.col("k1.e") != F.col("k2.e")))
+                    .where(F.col("k1.cst") != F.col("k2.cst"))
+                    .where(F.col("k1._xs")
+                           == F.array_sort(F.array(F.col("k1.cst"),
+                                                   F.col("k2.cst"))))
+                    .where(F.col("k2._xs") == F.col("k1._xs"))
+                    .select(
+                        F.col("k1.q2").alias("qa"),
+                        F.col("k1.cst").alias("csta"),
+                        F.col("k1.e").alias("ea"),
+                        F.col("k2.q2").alias("q2"),
+                        F.col("k2.cst").alias("cst"),
+                        F.col("k2.e").alias("e"),
+                    )
+                )
+                s5 = s5.join(
+                    kill, ["qa", "csta", "ea", "q2", "cst", "e"],
+                    "left_anti",
+                )
             results.append(_finish(
                 s5, heads, params, head0,
                 F.array_sort(F.array(
@@ -509,7 +569,7 @@ def mine_constants(
                 # dangling prefix (head) <- VV(f, c) — gate for S7/S8
                 ihb = ih.join(b, ih["f"] == b["x"]).where(
                     _ndt(F.col("tid") != F.col("htid"))
-                ).select(
+                ).where(_inj(b["y"] != ih["f"])).select(
                     "p", "A", "f", F.col("y").alias("c"), "q", "d",
                     "tid", "htid",
                 )
@@ -556,8 +616,14 @@ def mine_constants(
                     # CA-first order cannot generate this shape, so the
                     # only order's filter is the joint count.
                     s8_ok = (
-                        b.select(F.col("y").alias("c"), "q", "d")
+                        b.select(F.col("x").alias("_f"),
+                                 F.col("y").alias("c"), "q", "d",
+                                 F.col("tid").alias("_vt"))
                         .join(ca, F.col("c") == ca["x"])
+                        # injective joint: f != c and distinct triples
+                        # (see s4_ok note)
+                        .where(_inj((F.col("_f") != F.col("c"))
+                                    & (F.col("_vt") != F.col("ctid"))))
                         .groupBy("q", "d", "q2", "cst", "e")
                         .agg(F.countDistinct("c").alias("_nc"))
                         .where(F.col("_nc") >= 2)

@@ -121,6 +121,25 @@ def _head_var_pos(rules: DataFrame) -> DataFrame:
     )
 
 
+def _psize(t: DataFrame, injective: bool, key: str, out: str) -> DataFrame:
+    """Predicate relation size (scoreAtom for a 2-var atom,
+    AtomCounting.scala:29-40): non-reflexive triple count under
+    injective."""
+    tt = t.where(F.col("s") != F.col("o")) if injective else t
+    return tt.groupBy(F.col("p").alias(key)).agg(
+        F.count(F.lit(1)).alias(out)
+    )
+
+
+def _casize(E: DataFrame, prefix: str, out: str) -> DataFrame:
+    """Instantiated-atom slice size (scoreAtom for a 1-var atom):
+    non-reflexive = entities x != cst."""
+    return E.where(F.col("x") != F.col("cst")).groupBy(
+        F.col("q2").alias(prefix + "q2"), F.col("cst").alias(prefix + "cst"),
+        F.col("e").alias(prefix + "e"),
+    ).agg(F.count(F.lit(1)).alias(out))
+
+
 def confidences_constants(
     rules: DataFrame, triples: DataFrame, injective: bool = False
 ) -> DataFrame:
@@ -208,6 +227,37 @@ def confidences_constants(
     )
     if injective:
         j = j.where(F.col("va") != F.col("vb"))
+        # head-instance reuse (AtomCounting.scala:159-216): when the pair
+        # completes, the atoms bound SO FAR must not contain the
+        # instantiated head (va p vb). bestAtom (scoreAtom = slice size,
+        # non-reflexive under injective) binds the smaller atom first; the
+        # CA triple is in the map at pair completion only when the CA
+        # binds first (CA score <= VV score — on ties the CA, added last
+        # to the body, is the first minimum of the insertion-ordered
+        # bodySet). The VV atom always completes the pair, and a VV==head
+        # collision is impossible (mining bans (a p b) body atoms).
+        j = j.join(_psize(t, injective, "a1q", "_vsz"), "a1q", "left").join(
+            _casize(E, "c1", "_csz"), ["c1q2", "c1cst", "c1e"], "left"
+        ).fillna(0, ["_vsz", "_csz"])
+        head_eq = (F.col("_csz") <= F.col("_vsz")) & (
+            F.col("c1q2") == F.col("p")
+        ) & (
+            ((F.col("c1u") == "?a") & (F.col("c1e") == "s")
+             & (F.col("vb") == F.col("c1cst")))
+            | ((F.col("c1u") == "?b") & (F.col("c1e") == "o")
+               & (F.col("va") == F.col("c1cst")))
+        )
+        # body-triple reuse: VV instance == CA instance (InjectiveMapping
+        # atom set, VariableMap.scala:254-286)
+        reuse = (F.col("a1q") == F.col("c1q2")) & (
+            ((F.col("c1u") == "?a") & (F.col("vb") == F.col("c1cst"))
+             & (((F.col("c1e") == "s") & (F.col("a1d") == "f"))
+                | ((F.col("c1e") == "o") & (F.col("a1d") == "i"))))
+            | ((F.col("c1u") == "?b") & (F.col("va") == F.col("c1cst"))
+               & (((F.col("c1e") == "s") & (F.col("a1d") == "i"))
+                  | ((F.col("c1e") == "o") & (F.col("a1d") == "f"))))
+        )
+        j = j.where(~head_eq & ~reuse)
     pairs = j.select("rid", "p", "hside", "va", "vb").distinct().withColumn(
         "_hvv", F.when(F.col("hside") == "s", F.col("va"))
         .otherwise(F.col("vb"))
@@ -269,35 +319,123 @@ def confidences_constants(
         .otherwise(F.col("c1n") * F.col("c2np")).alias("pca_body_size"),
     )
     if injective:
-        # subtract the a==b diagonal: |E1 ∩ E2| pairs (and its pca subset)
-        e1 = s5.join(
-            E.select(F.col("q2").alias("c1q2"), F.col("cst").alias("c1cst"),
-                     F.col("e").alias("c1e"), F.col("x")),
-            ["c1q2", "c1cst", "c1e"],
-        ).select("rid", "p", "hside", "x")
-        e2 = s5.join(
-            E.select(F.col("q2").alias("c2q2"), F.col("cst").alias("c2cst"),
-                     F.col("e").alias("c2e"), F.col("x")),
-            ["c2q2", "c2cst", "c2e"],
-        ).select("rid", "x")
-        diag = e1.join(e2, ["rid", "x"])
-        SEd = SE.select(F.col("p").alias("_p"), F.col("pos").alias("_pos"),
+        # Full injective law (AtomCounting.scala:199-202 + the
+        # InjectiveMapping atom set): a pair (a, b) in A x B counts iff
+        # a != b, neither body triple equals the instantiated head
+        # (a p b), and the two body triples are distinct. The excluded
+        # subsets of A x B are the diagonal, at most two lines (b == cstA
+        # when CA_a mirrors the head; a == cstB when CA_b does) and one
+        # point (the two CAs binding the same triple cross-oriented) — all
+        # countable from per-rule aggregates of ONE rule x entity
+        # expansion; no pair materialization.
+        pick = lambda f: F.when(  # noqa: E731
+            F.col("c1u") == "?a", F.col("c1" + f)
+        ).otherwise(F.col("c2" + f))
+        pickb = lambda f: F.when(  # noqa: E731
+            F.col("c1u") == "?a", F.col("c2" + f)
+        ).otherwise(F.col("c1" + f))
+        norm = s5.select(
+            "rid", "p", "hside",
+            pick("q2").alias("Aq2"), pick("cst").alias("Acst"),
+            pick("e").alias("Ae"),
+            pickb("q2").alias("Bq2"), pickb("cst").alias("Bcst"),
+            pickb("e").alias("Be"),
+        )
+        SEx = SE.select(F.col("p").alias("_p"), F.col("pos").alias("_pos"),
                         F.col("x").alias("_x"))
-        diag_pca = diag.join(
-            SEd,
-            (F.col("p") == F.col("_p")) & (F.col("hside") == F.col("_pos"))
-            & (F.col("x") == F.col("_x")),
-            "left_semi",
+
+        def expand(side):
+            q, c, e = (f"{side}q2", f"{side}cst", f"{side}e")
+            ex = norm.join(
+                E.select(F.col("q2").alias(q), F.col("cst").alias(c),
+                         F.col("e").alias(e), "x"),
+                [q, c, e],
+            )
+            pos = "s" if side == "A" else "o"
+            ex = ex.join(
+                SEx,
+                (F.col("p") == F.col("_p")) & (F.col("_pos") == pos)
+                & (F.col("x") == F.col("_x")),
+                "left",
+            ).select(
+                "rid", F.lit(side).alias("side"), "x", "Acst", "Bcst",
+                # row survives the PCA restriction (only the hside-bound
+                # variable is restricted)
+                ((F.col("hside") != pos) | F.col("_x").isNotNull())
+                .alias("inp"),
+            )
+            return ex
+
+        exp = expand("A").unionByName(expand("B"))
+        agg = exp.groupBy("rid").agg(
+            F.sum(F.when(F.col("side") == "A", 1).otherwise(0)).alias("nA"),
+            F.sum(F.when(F.col("side") == "B", 1).otherwise(0)).alias("nB"),
+            F.sum(F.when((F.col("side") == "A") & F.col("inp"), 1)
+                  .otherwise(0)).alias("nAp"),
+            F.sum(F.when((F.col("side") == "B") & F.col("inp"), 1)
+                  .otherwise(0)).alias("nBp"),
+            F.max(F.when((F.col("side") == "B")
+                         & (F.col("x") == F.col("Acst")), 1).otherwise(0)
+                  ).alias("mAB"),
+            F.max(F.when((F.col("side") == "A")
+                         & (F.col("x") == F.col("Acst")), 1).otherwise(0)
+                  ).alias("mAA"),
+            F.max(F.when((F.col("side") == "A")
+                         & (F.col("x") == F.col("Bcst")), 1).otherwise(0)
+                  ).alias("mBA"),
+            F.max(F.when((F.col("side") == "B")
+                         & (F.col("x") == F.col("Bcst")), 1).otherwise(0)
+                  ).alias("mBB"),
+            F.max(F.when((F.col("side") == "B") & F.col("inp")
+                         & (F.col("x") == F.col("Acst")), 1).otherwise(0)
+                  ).alias("mABp"),
+            F.max(F.when((F.col("side") == "A") & F.col("inp")
+                         & (F.col("x") == F.col("Acst")), 1).otherwise(0)
+                  ).alias("mAAp"),
+            F.max(F.when((F.col("side") == "A") & F.col("inp")
+                         & (F.col("x") == F.col("Bcst")), 1).otherwise(0)
+                  ).alias("mBAp"),
+            F.max(F.when((F.col("side") == "B") & F.col("inp")
+                         & (F.col("x") == F.col("Bcst")), 1).otherwise(0)
+                  ).alias("mBBp"),
         )
-        dsz = diag.groupBy("rid").agg(F.count(F.lit(1)).alias("_d")).join(
-            diag_pca.groupBy("rid").agg(F.count(F.lit(1)).alias("_dp")),
-            "rid", "left",
+        dd = exp.groupBy("rid", "x").agg(
+            F.countDistinct("side").alias("_ns"),
+            F.min(F.when(F.col("inp"), 1).otherwise(0)).alias("_allp"),
+        ).where(F.col("_ns") == 2).groupBy("rid").agg(
+            F.count(F.lit(1)).alias("D"),
+            F.sum("_allp").alias("Dp"),
         )
-        s5sizes = s5sizes.join(dsz, "rid", "left").select(
+        flags = norm.select(
             "rid",
-            (F.col("body_size") - F.coalesce(F.col("_d"), F.lit(0)))
+            ((F.col("Ae") == "s") & (F.col("Aq2") == F.col("p")))
+            .cast("int").alias("a1"),
+            ((F.col("Be") == "o") & (F.col("Bq2") == F.col("p")))
+            .cast("int").alias("a2"),
+            ((F.col("Aq2") == F.col("Bq2")) & (F.col("Ae") != F.col("Be")))
+            .cast("int").alias("aT"),
+            (F.col("Acst") != F.col("Bcst")).cast("int").alias("ne"),
+        )
+        z = agg.join(dd, "rid", "left").fillna(0, ["D", "Dp"]).join(
+            flags, "rid"
+        )
+
+        def law(nA, nB, D, mAB, mAA, mBA, mBB):
+            h1 = F.col("a1") * z[mAB] * (z[nA] - z[mAA])
+            h2 = F.col("a2") * z[mBA] * (z[nB] - z[mBB])
+            P = z[mBA] * z[mAB] * F.col("ne")
+            a1, a2, aT = F.col("a1"), F.col("a2"), F.col("aT")
+            return (
+                z[nA] * z[nB] - z[D] - h1 - h2
+                - aT * P + a1 * a2 * P + a1 * aT * P + a2 * aT * P
+                - a1 * a2 * aT * P
+            )
+
+        s5sizes = z.select(
+            "rid",
+            law("nA", "nB", "D", "mAB", "mAA", "mBA", "mBB")
             .alias("body_size"),
-            (F.col("pca_body_size") - F.coalesce(F.col("_dp"), F.lit(0)))
+            law("nAp", "nBp", "Dp", "mABp", "mAAp", "mBAp", "mBBp")
             .alias("pca_body_size"),
         )
     finish(R.where(F.col("shape") == "s5"), s5sizes)
@@ -308,28 +446,73 @@ def confidences_constants(
     # there by construction, so pcaBodySize == bodySize.
     Ri = _head_var_pos(R)
 
-    def inst_finish(shape, bindings):
-        """bindings: (rid, v) distinct free-var bindings."""
+    # entity counts per (p, pos): the reference's pindex.subjects.size /
+    # objects.size threshold in the PCA branch decision
+    NE = SE.groupBy("p", "pos").agg(F.count(F.lit(1)).alias("_nent"))
+
+    def inst_finish(shape, bindings, raw=None, bscore=None):
+        """bindings: (rid, v) distinct free-var bindings AFTER the injective
+        head-instance exclusion; ``raw``: the same set WITHOUT that exclusion
+        (branch B below); ``bscore``: (rid, _bscore) = min scoreAtom over the
+        body (RuleCounting.scala:268-286 `_bestAtom`).
+
+        PCA branch law for instantiated heads (withPcaConfidence):
+        - head CONSTANT on the higherCardinalitySide -> plain sdp, equals
+          body_size;
+        - free var on the higher side and best body score < #entities of p
+          at that side -> empty-map sdp + isPCA filter: the EXCLUDED binding
+          set restricted to those entities (branch A);
+        - otherwise the reference pre-binds the head var to every entity
+          with a zeroConstant head atom in the map, so the head-instance
+          exclusion never fires: the RAW binding set restricted to those
+          entities (branch B).
+        """
         shaped = Ri.where(F.col("shape") == shape)
         meta = shaped.select("rid", "p", "hside", "fvpos")
         bd = bindings.join(meta, "rid")
         bs = bd.groupBy("rid").agg(F.count(F.lit(1)).alias("body_size"))
         SEi = SE.select(F.col("p").alias("_p"), F.col("pos").alias("_pos"),
                         F.col("x").alias("_v"))
-        restricted = bd.where(F.col("hside") == F.col("fvpos")).join(
-            SEi,
-            (F.col("p") == F.col("_p")) & (F.col("hside") == F.col("_pos"))
-            & (F.col("v") == F.col("_v")),
-            "left_semi",
-        ).groupBy("rid").agg(F.count(F.lit(1)).alias("_pcares"))
+
+        def _restrict(bset, out):
+            return bset.join(meta, "rid").where(
+                F.col("hside") == F.col("fvpos")
+            ).join(
+                SEi,
+                (F.col("p") == F.col("_p")) & (F.col("hside") == F.col("_pos"))
+                & (F.col("v") == F.col("_v")),
+                "left_semi",
+            ).groupBy("rid").agg(F.count(F.lit(1)).alias(out))
+
+        restricted = _restrict(bindings, "_pcares")
         sizes = bs.join(restricted, "rid", "left").join(
-            meta.select("rid", (F.col("hside") == F.col("fvpos")).alias("_r")),
+            meta.select("rid", "p", "hside",
+                        (F.col("hside") == F.col("fvpos")).alias("_r")),
             "rid",
-        ).select(
-            "rid", "body_size",
-            F.when(F.col("_r"), F.coalesce(F.col("_pcares"), F.lit(0)))
-            .otherwise(F.col("body_size")).alias("pca_body_size"),
         )
+        if raw is not None:
+            raw_restricted = _restrict(raw, "_pcaraw")
+            NEi = NE.select(F.col("p").alias("_p"), F.col("pos").alias("_pos"),
+                            "_nent")
+            sizes = sizes.join(raw_restricted, "rid", "left").join(
+                bscore, "rid", "left"
+            ).join(
+                F.broadcast(NEi),
+                (F.col("p") == F.col("_p")) & (F.col("hside") == F.col("_pos")),
+                "left",
+            ).fillna(0, ["_nent"])
+            use_b = F.col("_r") & (F.col("_bscore") >= F.col("_nent"))
+            pca = (
+                F.when(~F.col("_r"), F.col("body_size"))
+                .when(use_b, F.coalesce(F.col("_pcaraw"), F.lit(0)))
+                .otherwise(F.coalesce(F.col("_pcares"), F.lit(0)))
+            )
+        else:
+            pca = (
+                F.when(F.col("_r"), F.coalesce(F.col("_pcares"), F.lit(0)))
+                .otherwise(F.col("body_size"))
+            )
+        sizes = sizes.select("rid", "body_size", pca.alias("pca_body_size"))
         finish(shaped, sizes)
 
     fvar = F.when(_split(F.col("head"), 0).startswith("?"), "?a").otherwise("?b")
@@ -360,15 +543,28 @@ def confidences_constants(
         E.select(F.col("q2").alias("c2q2"), F.col("cst").alias("c2cst"),
                  F.col("e").alias("c2e"), F.col("x").alias("v")),
         ["c2q2", "c2cst", "c2e", "v"],
-    ).select("rid", "v").distinct()
+    )
+    if injective:
+        # the two CA instances must be DISTINCT triples: equal only when
+        # cross-oriented with v == cst1 == cst2 and shared predicate
+        b9 = b9.where(~(
+            (F.col("c1q2") == F.col("c2q2")) & (F.col("c1e") != F.col("c2e"))
+            & (F.col("v") == F.col("c1cst")) & (F.col("v") == F.col("c2cst"))
+        ))
+    b9 = b9.select("rid", "v").distinct()
     inst_finish("s9", b9)
 
     # s7 / s8: VV(fv, ?c) [+ VV or CAtom on ?c]
     for shape in ("s7", "s8"):
         shaped = Ri.where(F.col("shape") == shape)
         fv = fvar
+        headA = F.substring(
+            F.when(F.col("fvpos") == "o", _split(F.col("head"), 0))
+            .otherwise(_split(F.col("head"), 2)),
+            3, 1_000_000,
+        )
         comp = shaped.select(
-            "rid", fv.alias("_fv"),
+            "rid", fv.alias("_fv"), "p", "fvpos", headA.alias("_hA"),
             *_vv_cols(F.col("_vv")[0], fv, "a1"),
             *(
                 _vv_cols(F.col("_vv")[1], fv, "a2")
@@ -376,6 +572,22 @@ def confidences_constants(
                 else _ca_cols(F.col("_inst")[0], "c1")
             ),
         )
+        # atom scores (scoreAtom on the empty map) joined at the rule level:
+        # used both for the injective first-bound tie-break and for the PCA
+        # branch decision (_bscore = the reference's `_bestAtom` score)
+        comp = comp.join(_psize(t, injective, "a1q", "_sz1"), "a1q", "left")
+        if shape == "s7":
+            comp = comp.join(
+                _psize(t, injective, "a2q", "_sz2"), "a2q", "left"
+            ).fillna(0, ["_sz1", "_sz2"]).withColumn(
+                "_bscore", F.least("_sz1", "_sz2")
+            )
+        else:
+            comp = comp.join(
+                _casize(E, "c1", "_csz"), ["c1q2", "c1cst", "c1e"], "left"
+            ).fillna(0, ["_sz1", "_csz"]).withColumn(
+                "_bscore", F.least("_sz1", "_csz")
+            )
         j1 = comp.join(
             b.select(F.col("q").alias("a1q"), F.col("d").alias("a1d"),
                      F.col("x").alias("v"), F.col("y").alias("vc")),
@@ -395,7 +607,65 @@ def confidences_constants(
             )
         if injective:
             jj = jj.where(F.col("v") != F.col("vc"))
-        inst_finish(shape, jj.select("rid", "v").distinct())
+        # branch-B PCA bindings: no head-instance exclusion (the reference's
+        # pre-bound variableMap holds (x, p, zeroConstant), never the real
+        # head triple — RuleCounting.scala:276-284)
+        raw = jj.select("rid", "v").distinct()
+        if injective:
+            # head-instance reuse (AtomCounting.scala:159-216): a binding
+            # whose first-bound triple(s) contain the instantiated head
+            # ((v p A) when the free var is the subject, (A p v) when the
+            # object) does not count; the free var still counts if ANOTHER
+            # ?c binding avoids the collision (exists semantics — the
+            # filter is per binding row, distinct v after). Only atoms
+            # bound BEFORE the head variable completes are in the map at
+            # check time, so the bestAtom order decides which atoms
+            # participate (see the s4 note).
+            vv_head = lambda q, d: (  # noqa: E731
+                (F.col("vc") == F.col("_hA")) & (F.col(q) == F.col("p"))
+                & (F.col(d) == F.when(F.col("fvpos") == "s", "f")
+                   .otherwise("i"))
+            )
+            if shape == "s7":
+                # the head var binds with the FIRST VV; only that atom's
+                # triple is in the map at the check — smaller relation
+                # first; on ties the closing atom (d='i', added last to
+                # the body) is the first minimum of the insertion-ordered
+                # bodySet
+                first1 = (F.col("_sz1") < F.col("_sz2")) | (
+                    (F.col("_sz1") == F.col("_sz2"))
+                    & (F.col("a1d") == "i")
+                )
+                excl = (first1 & vv_head("a1q", "a1d")) | (
+                    ~first1 & vv_head("a2q", "a2d")
+                )
+            else:
+                # the VV atom completes the head var in either order, so
+                # its collision always counts; the CA triple is in the map
+                # at the check only when the CA binds first (score law as
+                # in s4)
+                excl = vv_head("a1q", "a1d")
+                ca_head = (F.col("_csz") <= F.col("_sz1")) & (
+                    F.col("c1q2") == F.col("p")
+                ) & (
+                    ((F.col("fvpos") == "o") & (F.col("c1e") == "s")
+                     & (F.col("vc") == F.col("_hA"))
+                     & (F.col("c1cst") == F.col("v")))
+                    | ((F.col("fvpos") == "s") & (F.col("c1e") == "o")
+                       & (F.col("c1cst") == F.col("v"))
+                       & (F.col("vc") == F.col("_hA")))
+                )
+                # body-triple reuse: VV instance == CA instance
+                ca_reuse = (
+                    (F.col("a1q") == F.col("c1q2"))
+                    & (F.col("v") == F.col("c1cst"))
+                    & (((F.col("a1d") == "f") & (F.col("c1e") == "o"))
+                       | ((F.col("a1d") == "i") & (F.col("c1e") == "s")))
+                )
+                excl = excl | ca_head | ca_reuse
+            jj = jj.where(~excl)
+        inst_finish(shape, jj.select("rid", "v").distinct(), raw=raw,
+                    bscore=comp.select("rid", "_bscore"))
 
     out = outs[0]
     for o in outs[1:]:

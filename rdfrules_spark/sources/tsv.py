@@ -64,8 +64,23 @@ def read_tsv(
             )
             dbl_form = c.rlike(r"^-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
             as_dbl = c.cast("double")
+            # Scala's cooperative numeric equality makes TripleItem.Number(1)
+            # == Number(1.0) (BoxesRunTime.equals + Statics.anyHash agree),
+            # so the reference's TripleItemHashIndex merges the int and the
+            # integral-double lexical forms into ONE dictionary item. Our
+            # string-identity engine implements the same value law by
+            # collapsing integral doubles in int range to the int form.
+            dbl_integral = (
+                (as_dbl == F.floor(as_dbl).cast("double"))
+                & (as_dbl >= -2147483648.0)
+                & (as_dbl <= 2147483647.0)
+            )
             return (
                 F.when(fits_int, as_long.cast("string"))
+                .when(
+                    dbl_form & as_dbl.isNotNull() & dbl_integral,
+                    as_dbl.cast("long").cast("string"),
+                )
                 .when(dbl_form & as_dbl.isNotNull(), as_dbl.cast("string"))
                 .otherwise(c)
             )
