@@ -25,6 +25,14 @@ Workloads (each one timed end-to-end, count() as the action):
                       triples, minHC=0.01 -> 124 rules) incl. CWA+PCA
                       confidence — comparable to BASELINE.md task1 semantics.
                       Skipped (not counted) if the fixture is absent.
+  task9_logical_1m    reference task9 semantics (exhaustive logical mining,
+                      injective, minHC=0.01 + CWA>=0.1 + PCA>=0.1) at the
+                      ~1M-triple scale. Published baseline 12.82 min; the
+                      same-host executed-reference time is in BENCH.md.
+  task13_graphs       reference task13 semantics (merged yagoFacts +
+                      yagoLiteralFacts, object constants, injective, CWA+PCA
+                      >= 0.1) on the snapshot's sample data, vs the executed
+                      reference on the identical input (BENCH.md).
   minhash_lsh         MinHash+LSH near-dup pairs over documents.parquet.
   cosine_topk         brute-force cosine top-k over embeddings.parquet.
 
@@ -103,6 +111,99 @@ def bench_mine_kg(spark, sf: float, aux: dict) -> None:
     # compares against the reference's 15.93 s task1 at the same ~1M scale
     aux["mine_kg_mine_conf_sec"] = round(time.time() - t0, 1)
     triples.unpersist()
+
+
+def bench_task9(spark, sf: float, aux: dict) -> None:
+    """Reference task9 analog (OriginalAmieComparison -runlogical,
+    experiments_amie2/OriginalAmieComparison.scala:70-86; results in
+    experiments/results/task9.txt): EXHAUSTIVE logical mining (constants =
+    Nowhere), InjectiveMapping, minHC=0.01, maxRuleLength=3, then CWA
+    confidence >= 0.1 and PCA confidence >= 0.1 (both injective,
+    RdfRulesMiningTask.countOtherMetrics). Published baseline: 12.82 min /
+    3,430 rules on yago2core (~1M triples, 8 threads). That dataset is not
+    in the snapshot, so this runs the identical pipeline on the synthetic
+    ~1M-triple KG; the same-host executed-reference wall time on the SAME
+    synthetic TSV (tools/refexec Task9Harness) is recorded in BENCH.md."""
+    from pyspark.sql import functions as F
+
+    from rdfrules_spark.corpus import synth_kg
+    from rdfrules_spark.mining.amie import MiningParams, mine
+    from rdfrules_spark.mining.measures import confidences
+
+    n = max(50_000, int(10_000_000 * sf))
+    triples = synth_kg(spark, n).distinct().cache()
+    aux["task9_triples"] = triples.count()
+    t0 = time.time()
+    params = MiningParams(
+        min_head_size=100, min_support=1, min_head_coverage=0.01,
+        injective=True,
+        # single-graph input: the reference's index build keeps reflexive
+        # facts in size(injective) — see head_sizes() in mining/amie.py
+        reflexive_head_sizes=True,
+    )
+    rules = mine(triples, params)
+    out = confidences(
+        rules, triples, cwa=True, pca=True, min_confidence=0.1,
+        injective=True,
+    )
+    aux["task9_rules"] = out.where(F.col("pca_confidence") >= 0.1).count()
+    aux["task9_mine_conf_sec"] = round(time.time() - t0, 1)
+    triples.unpersist()
+
+
+TASK13_INPUTS = (
+    "/root/reference/experiments/data/yagoFacts.tsv.bz2",
+    "/root/reference/experiments/data/yagoLiteralFacts.tsv.bz2",
+)
+
+
+def bench_task13(spark, aux: dict) -> bool:
+    """Reference task13 ("rungraphs YAGO", RdfRulesExperiments.scala:73-81;
+    results in experiments/results/task13.txt): mine the merged
+    yagoFacts+yagoLiteralFacts dataset (ParsedLiterals) with minHC=0.01,
+    maxRuleLength=3, InjectiveMapping, ConstantsAtPosition(Object), then
+    CWA >= 0.1 and PCA >= 0.1 (injective). The snapshot ships SAMPLE files
+    (19,764 triples); the executed reference (tools/refexec Task13Harness)
+    provides the same-host wall time on the identical input, and
+    tests/test_task13_parity.py pins the rule set rule-for-rule at the
+    46,654-triple scale. Published full-data baseline: 1,806,326 rules /
+    29.80 s (task13.txt:1-4)."""
+    if not all(os.path.exists(p) for p in TASK13_INPUTS):
+        return False
+    from pyspark.sql import functions as F
+
+    from rdfrules_spark.mining.amie import MiningParams
+    from rdfrules_spark.mining.constants import mine_constants
+    from rdfrules_spark.mining.measures_constants import (
+        confidences_constants,
+    )
+    from rdfrules_spark.sources.tsv import read_tsv
+
+    t = None
+    for path in TASK13_INPUTS:
+        g = read_tsv(spark, path, parse_literals=True).select("s", "p", "o")
+        t = g if t is None else t.unionByName(g)
+    t = t.distinct().cache()
+    aux["task13_triples"] = t.count()
+    t0 = time.time()
+    params = MiningParams(
+        min_head_size=100, min_support=1, min_head_coverage=0.01,
+        max_rule_length=3, injective=True,
+    )
+    rules = mine_constants(
+        t, params, constants="object", quasi_binding=True
+    ).localCheckpoint()
+    conf = confidences_constants(rules, t, injective=True)
+    aux["task13_rules"] = (
+        conf
+        .where(F.col("support") / F.col("body_size") >= 0.1)
+        .where((F.col("pca_body_size") > 0)
+               & (F.col("support") / F.col("pca_body_size") >= 0.1))
+        .count()
+    )
+    aux["task13_mine_conf_sec"] = round(time.time() - t0, 1)
+    t.unpersist()
+    return True
 
 
 def bench_mine_yago(spark, aux: dict) -> bool:
@@ -205,6 +306,8 @@ def run_bench(sf_dir: str, only: set[str] | None = None,
     timed("kg_sf_documents", bench_kg_sf, spark, sf_dir, aux)
     timed("mine_kg_l3", bench_mine_kg, spark, sf, aux)
     timed("mine_yago", bench_mine_yago, spark, aux)
+    timed("task9_logical_1m", bench_task9, spark, sf, aux)
+    timed("task13_graphs", bench_task13, spark, aux)
     timed("stream_pipeline", bench_stream_pipeline, spark, sf_dir, aux)
     timed("minhash_lsh", bench_minhash, spark, sf_dir, aux)
     timed("cosine_topk", bench_cosine, spark, sf_dir, aux)

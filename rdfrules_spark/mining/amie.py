@@ -66,6 +66,10 @@ class MiningParams:
     #: ExpandingRule.headTriples). Auto-added by the reference's HTTP Mine
     #: task, so product-default parity runs set this True.
     injective: bool = False
+    #: Reproduce the reference's single-graph headSize inconsistency
+    #: (see head_sizes): head sizes / minHC denominators count reflexive
+    #: facts even under injective mapping. Support counting is unaffected.
+    reflexive_head_sizes: bool = False
     #: Anytime mining (Threshold.scala:15-89, AnytimeRefinement.scala):
     #: global wall-clock budget in seconds — the staged miners stop
     #: LAUNCHING further shape jobs once exceeded and return the (valid)
@@ -137,8 +141,26 @@ def _htid() -> F.Column:
 
 def head_sizes(triples: DataFrame, params: MiningParams) -> DataFrame:
     """Valid head predicates with sizes (HeadsFetcher.scala:24-92);
-    injective mapping counts non-reflexive facts only (size(true))."""
-    base = triples.where(F.col("s") != F.col("o")) if params.injective else triples
+    injective mapping counts non-reflexive facts only (size(true)).
+
+    ``params.reflexive_head_sizes`` mirrors a reference inconsistency its
+    SINGLE-GRAPH index build path exhibits: TripleHashIndex.scala:325-330
+    marks reflexivity on the per-(s,o) graph-set entry instead of calling
+    ``psi.value.setReflexivity()`` like the multi-graph path does at :247,
+    so ``predicate.size(nonReflexive=true)`` (:61-66, a sum of per-subject
+    object-map ``size(true)``) never subtracts reflexive facts — headSize
+    and the minHC denominator equal the FULL size even under
+    InjectiveMapping, while support enumeration (ExpandingRule.headTriples)
+    still skips reflexive head triples. Verified by executing the reference
+    on a synthetic KG with reflexive facts (162-rule task9 run: headSize
+    diverges by exactly the per-predicate reflexive count; all supports and
+    confidences equal). Set True only to reproduce executed-reference
+    output on single-graph datasets."""
+    base = (
+        triples.where(F.col("s") != F.col("o"))
+        if params.injective and not params.reflexive_head_sizes
+        else triples
+    )
     hs = base.groupBy("p").agg(F.count(F.lit(1)).alias("head_size"))
     hs = hs.where(F.col("head_size") >= params.min_head_size)
     if params.only_predicates is not None:
