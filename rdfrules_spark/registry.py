@@ -2929,3 +2929,43 @@ def q_refcache_roundtrip(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="rdfrules_refcache_") + "/data.cache"
     write_dataset_cache(df, path)
     return read_dataset_cache(spark, path).select("s", "p", "o", "okind", "g")
+
+
+# --------------------------------------------------------------------------
+# Iceberg-shaped table scan (north-star input/output table format)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ice_pruned_scan",
+    """
+    select event_id, user_id, event_type, value from events
+    where event_type in ('click', 'view') and value >= 50.0
+    """,
+)
+def q_ice_pruned_scan(spark, sf_dir):
+    """IceTable commit/scan: two append snapshots (disjoint value ranges)
+    then a manifest-pruned scan — partition pruning on event_type dirs +
+    min/max file pruning on value bounds, full predicate re-applied on the
+    survivors (sources/icetable.py). North-star: 'read an Iceberg table';
+    reference durable-store analog core:index/ops/Cacheable.scala:29-70."""
+    import tempfile
+
+    from rdfrules_spark.sources.icetable import IceTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = IceTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="rdfrules_ice_") + "/events",
+        ev.schema,
+        partition_by=["event_type"],
+    )
+    t.append(ev.where(F.col("value") < 100.0), idempotency_key="lo")
+    t.append(ev.where(F.col("value") >= 100.0), idempotency_key="hi")
+    t.append(ev.where(F.col("value") >= 100.0), idempotency_key="hi")  # no-op
+    return t.scan(
+        filters=[("event_type", "in", ["click", "view"]),
+                 ("value", ">=", 50.0)]
+    )
