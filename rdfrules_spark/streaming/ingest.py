@@ -177,6 +177,32 @@ def dedup_statements_stateful(statements: DataFrame) -> DataFrame:
     )
 
 
+def _batch_transform(
+    batch_docs: DataFrame,
+    window3: bool,
+    candidates: DataFrame | None,
+    aka_pred: str,
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch's extraction -> linking -> sameAs split (shared by
+    the parquet-partition sink and the IceTable sink)."""
+    stmts = stream_statements(batch_docs, window3=window3)
+    if window3:
+        linked = stmts.select(
+            "doc_id",
+            "stmt_no",
+            F.col("s_surf").alias("s"),
+            "p",
+            F.col("o_surf").alias("o"),
+        )
+    else:
+        linked = linking.link_statements(stmts, candidates)
+    relations = linked.where(F.col("p") != aka_pred)
+    edges = linked.where(F.col("p") == aka_pred).select(
+        F.col("s").alias("a"), F.col("o").alias("b")
+    )
+    return relations, edges
+
+
 def run_incremental_pipeline(
     spark: SparkSession,
     documents: DataFrame,
@@ -211,20 +237,8 @@ def run_incremental_pipeline(
         sess.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
-        stmts = stream_statements(batch_docs, window3=window3)
-        if window3:
-            linked = stmts.select(
-                "doc_id",
-                "stmt_no",
-                F.col("s_surf").alias("s"),
-                "p",
-                F.col("o_surf").alias("o"),
-            )
-        else:
-            linked = linking.link_statements(stmts, candidates)
-        relations = linked.where(F.col("p") != aka_pred)
-        edges = linked.where(F.col("p") == aka_pred).select(
-            F.col("s").alias("a"), F.col("o").alias("b")
+        relations, edges = _batch_transform(
+            batch_docs, window3, candidates, aka_pred
         )
         (
             relations.withColumn("batch_id", F.lit(batch_id))
@@ -245,6 +259,95 @@ def run_incremental_pipeline(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_incremental_pipeline_ice(
+    spark: SparkSession,
+    documents: DataFrame,
+    workdir: str,
+    candidates: DataFrame | None = None,
+    n_entities: int | None = None,
+    window3: bool = False,
+    available_now: bool = True,
+):
+    """foreachBatch incremental KG construction into IceTables.
+
+    Same per-batch transform as :func:`run_incremental_pipeline`, but the
+    sink is the Iceberg-shaped table format (sources/icetable.py): each
+    micro-batch commits one ``append`` snapshot per table with
+    ``idempotency_key='batch-{batch_id}'`` — a batch replayed after a
+    crash is a METADATA no-op (the key is already committed), which is
+    exactly-once at the table-format level, independent of partition
+    layout or ``partitionOverwriteMode``. Snapshot summaries double as
+    per-batch lineage (added-records/files/bytes per commit), queryable
+    via ``IceTable.history()`` without touching data files."""
+    from rdfrules_spark.sources.icetable import IceTable
+
+    if candidates is None and not window3:
+        if n_entities is None:
+            raise ValueError("need candidates or n_entities")
+        candidates = linking.alias_candidates(spark, n_entities)
+    aka_pred = "dup" if window3 else linking.AKA
+    tables: dict[str, IceTable] = {}
+
+    def table_for(name: str, df: DataFrame) -> IceTable:
+        if name not in tables:
+            path = os.path.join(workdir, name)
+            if os.path.exists(os.path.join(path, "metadata")):
+                tables[name] = IceTable.load(spark, path)
+            else:
+                tables[name] = IceTable.create(
+                    spark, path, df.schema,
+                    partition_by=["p"] if "p" in df.columns else [],
+                )
+        return tables[name]
+
+    def process_batch(batch_docs: DataFrame, batch_id: int) -> None:
+        relations, edges = _batch_transform(
+            batch_docs, window3, candidates, aka_pred
+        )
+        key = f"batch-{batch_id}"
+        table_for("relations_ice", relations).append(
+            relations, idempotency_key=key
+        )
+        table_for("sameas_edges_ice", edges).append(
+            edges, idempotency_key=key
+        )
+
+    writer = documents.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", os.path.join(workdir, "_stream_checkpoint")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def finalize_store_ice(spark: SparkSession, workdir: str):
+    """:func:`finalize_store` over the IceTable sink: global
+    canonicalization + encoding reading through manifest-planned scans."""
+    from rdfrules_spark.sources.icetable import IceTable
+
+    relations = IceTable.load(
+        spark, os.path.join(workdir, "relations_ice")
+    ).scan()
+    try:
+        sameas = IceTable.load(
+            spark, os.path.join(workdir, "sameas_edges_ice")
+        ).scan().select("a", "b")
+    except FileNotFoundError:
+        sameas = spark.createDataFrame(
+            [], T.StructType(
+                [
+                    T.StructField("a", T.StringType()),
+                    T.StructField("b", T.StringType()),
+                ]
+            )
+        )
+    canonical, canon_map = canonicalize_triples(relations, sameas)
+    triples_str = canonical.select("s", "p", "o")
+    triples = dictionary.encode_triples(triples_str)
+    dict_df = dictionary.build_dictionary(triples_str)
+    return canonical, canon_map, triples, dict_df
 
 
 def finalize_store(spark: SparkSession, workdir: str):

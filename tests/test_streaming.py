@@ -199,3 +199,66 @@ def test_incremental_replay_is_idempotent(spark, tmp_path):
     relations = spark.read.parquet(os.path.join(workdir, "relations"))
     batch = run_pipeline(spark, docs, n_entities=n_ent)
     assert relations.count() == batch.relations.count()
+
+
+def test_incremental_ice_sink_equals_batch_and_replays_free(spark, tmp_path):
+    """IceTable streaming sink: multi-batch incremental == batch pipeline,
+    and a full stream replay adds ZERO snapshots (idempotency keys make
+    replayed commits metadata no-ops — exactly-once at the table format)."""
+    from rdfrules_spark.sources.icetable import IceTable
+    from rdfrules_spark.streaming import (
+        finalize_store_ice,
+        run_incremental_pipeline_ice,
+    )
+    from rdfrules_spark.streaming.ingest import stream_documents
+
+    n_docs, n_ent = 200, corpus.n_entities_for(200)
+    docs = corpus.synth_documents(spark, n_docs, n_entities=n_ent)
+    in_dir = str(tmp_path / "in")
+    docs.where(F.col("doc_id") < "doc_00000100").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    docs.where(F.col("doc_id") >= "doc_00000100").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    workdir = str(tmp_path / "work")
+    q = run_incremental_pipeline_ice(
+        spark,
+        stream_documents(spark, in_dir, max_files_per_trigger=1),
+        workdir,
+        n_entities=n_ent,
+    )
+    q.awaitTermination(600)
+    rel_table = IceTable.load(spark, os.path.join(workdir, "relations_ice"))
+    snaps_before = len(rel_table.snapshots())
+    assert snaps_before >= 2  # one commit per micro-batch
+    # per-batch lineage in the snapshot summaries
+    assert all(
+        s["summary"]["idempotency-key"].startswith("batch-")
+        and s["summary"]["added-records"] > 0
+        for s in rel_table.snapshots()
+    )
+
+    canonical, _cmap, triples, _d = finalize_store_ice(spark, workdir)
+    batch = run_pipeline(spark, docs, n_entities=n_ent)
+    got = {tuple(r) for r in canonical.select("s", "p", "o").collect()}
+    want = {
+        tuple(r) for r in batch.relations.select("s", "p", "o").collect()
+    }
+    assert got == want
+
+    # replay the whole stream from a FRESH checkpoint (crash-and-restart
+    # worst case: source offsets lost, every batch re-delivered)
+    import shutil
+
+    shutil.rmtree(os.path.join(workdir, "_stream_checkpoint"))
+    q = run_incremental_pipeline_ice(
+        spark,
+        stream_documents(spark, in_dir, max_files_per_trigger=1),
+        workdir,
+        n_entities=n_ent,
+    )
+    q.awaitTermination(600)
+    assert len(rel_table.snapshots()) == snaps_before  # zero new commits
+    canonical2, _cm, _t, _d2 = finalize_store_ice(spark, workdir)
+    assert canonical2.count() == canonical.count()
