@@ -118,81 +118,255 @@ def read_trix(spark: SparkSession, path: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _jsonld_nodes(doc):
-    if isinstance(doc, list):
-        for x in doc:
-            yield from _jsonld_nodes(x)
-    elif isinstance(doc, dict):
-        if "@graph" in doc:
-            yield from _jsonld_nodes(doc["@graph"])
-        elif "@id" in doc or any(not k.startswith("@") for k in doc):
-            yield doc
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+_RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+_RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+_JSONLD_KEYWORDS = {
+    "@id", "@type", "@value", "@language", "@list", "@set", "@graph",
+    "@context", "@reverse", "@index", "@vocab", "@base", "@container",
+    "@nest", "@json", "@none",
+}
 
 
-def _jsonld_value(v):
-    """Object value -> (object_string, nested_node_or_None)."""
-    if isinstance(v, dict):
-        if "@value" in v:
-            return str(v["@value"]), None
-        if set(v) == {"@id"}:
-            return v["@id"], None
-        return None, v  # nested node object
+class _JsonLdCtx:
+    """Active JSON-LD context: term definitions + @vocab/@base + keyword
+    aliases, with compact-IRI and vocab/document-relative expansion
+    (JSON-LD 1.1 context processing, the surface Jena's Titanium parser
+    covers for the reference's 'json/jsonld' dispatch)."""
+
+    def __init__(self):
+        self.terms: dict[str, dict] = {}
+        self.vocab = ""
+        self.base = ""
+        self.aliases: dict[str, str] = {}
+
+    def load(self, ctx) -> "_JsonLdCtx":
+        if ctx is None:
+            return self
+        if isinstance(ctx, list):
+            for c in ctx:
+                self.load(c)
+            return self
+        if not isinstance(ctx, dict):
+            return self  # remote context IRIs are out of scope offline
+        for k, v in ctx.items():
+            if k == "@vocab":
+                self.vocab = v or ""
+            elif k == "@base":
+                self.base = v or ""
+            elif isinstance(v, str):
+                if v in _JSONLD_KEYWORDS:
+                    self.aliases[k] = v
+                else:
+                    self.terms[k] = {"id": v}
+        # second pass: dict term definitions may reference other terms
+        for k, v in ctx.items():
+            if isinstance(v, dict):
+                d = {"id": self.expand_iri(v.get("@id", k), vocab=True)}
+                if "@type" in v:
+                    d["type"] = (
+                        "@id" if v["@type"] in ("@id", "@vocab")
+                        else self.expand_iri(v["@type"], vocab=True)
+                    )
+                if "@container" in v:
+                    cont = v["@container"]
+                    d["container"] = (
+                        cont if isinstance(cont, str) else
+                        next(iter(cont), None)
+                    )
+                if "@reverse" in v:
+                    d = {"id": self.expand_iri(v["@reverse"], vocab=True),
+                         "reverse": True}
+                self.terms[k] = d
+        return self
+
+    def norm_key(self, key: str) -> str:
+        """Map a node key to the keyword it aliases ('id' -> '@id'), or
+        itself (keywords and ordinary terms pass through)."""
+        if key.startswith("@"):
+            return key
+        return self.aliases.get(key, key)
+
+    def get_kw(self, node: dict, kw: str):
+        """Fetch a keyword's value from a node, alias-aware."""
+        if kw in node:
+            return node[kw]
+        for k, v in node.items():
+            if not k.startswith("@") and self.aliases.get(k) == kw:
+                return v
+        return None
+
+    def expand_iri(self, term: str, vocab: bool = False,
+                   doc_relative: bool = False) -> str:
+        from urllib.parse import urljoin
+
+        if not isinstance(term, str) or term.startswith("@"):
+            return term
+        if term in self.terms:
+            return self.terms[term]["id"]
+        if ":" in term:
+            prefix, local = term.split(":", 1)
+            if local.startswith("//"):
+                return term  # absolute IRI with authority
+            if prefix in self.terms:
+                return self.terms[prefix]["id"] + local
+            if prefix == "_":
+                return term  # blank node
+            return term
+        if vocab and self.vocab:
+            return self.vocab + term
+        if doc_relative and self.base:
+            return urljoin(self.base, term)
+        return term
+
+
+def _jsonld_literal(v) -> str:
     if isinstance(v, bool):
-        return ("true" if v else "false"), None
-    return str(v), None
+        return "true" if v else "false"
+    if isinstance(v, float) and v == int(v):
+        return str(int(v))
+    return str(v)
 
 
 def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
-    """JSON-LD subset -> (s, p, o, okind): top-level node array / @graph,
-    simple string @context term mappings, @id / @value / @type / nested node
-    objects (blank-node ids assigned per file)."""
+    """JSON-LD -> (s, p, o, okind): @context processing (term defs incl.
+    dict definitions with @type/@container/@reverse, @vocab, @base,
+    keyword aliases, compact IRIs), node arrays / nested @graph
+    flattening, @id / @type coercion, value objects (@value with
+    @type/@language — lexical form kept, tags dropped: the
+    ParsedLiterals convention), @list -> rdf:first/rest/nil chains,
+    @set flattening, @reverse edges, nested node objects; blank-node ids
+    assigned per file. Reference dispatch: 'json/jsonld' in
+    core:data/RdfSource.scala:52-67 (Jena RIOT)."""
 
     def parse(rows):
         for r in rows:
             doc = json.loads(r["value"])
-            ctx = {}
-            if isinstance(doc, dict) and isinstance(doc.get("@context"), dict):
-                ctx = {
-                    k: v
-                    for k, v in doc["@context"].items()
-                    if isinstance(v, str)
-                }
             counter = [0]
 
-            def expand(term):
-                return ctx.get(term, term)
+            def new_bnode():
+                counter[0] += 1
+                return f"_:b{counter[0]}"
 
-            def walk(node):
-                sid = node.get("@id")
+            def node_ref(node, ctx):
+                sid = ctx.get_kw(node, "@id") if isinstance(
+                    node, dict
+                ) else None
                 if sid is None:
-                    counter[0] += 1
-                    sid = f"_:b{counter[0]}"
+                    return new_bnode()
+                return ctx.expand_iri(sid, doc_relative=True)
+
+            def as_list(v):
+                return v if isinstance(v, list) else [v]
+
+            def emit_list(items, ctx, tdef):
+                """@list -> first/rest chain; returns the head."""
+                head = _RDF_NIL
+                cells = []
+                for item in items:
+                    cells.append(new_bnode())
+                prev = _RDF_NIL
+                out = []
+                for cell, item in zip(reversed(cells), reversed(items)):
+                    oid, sub = obj_of(item, ctx, tdef)
+                    out.append((cell, _RDF_FIRST, oid))
+                    out.append((cell, _RDF_REST, prev))
+                    out.extend(sub)
+                    prev = cell
+                head = cells[0] if cells else _RDF_NIL
+                return head, out
+
+            def obj_of(v, ctx, tdef):
+                """One value -> (object term, extra triples)."""
+                if isinstance(v, dict):
+                    val = ctx.get_kw(v, "@value")
+                    if val is not None:
+                        return _jsonld_literal(val), []
+                    lst = ctx.get_kw(v, "@list")
+                    if lst is not None:
+                        return emit_list(as_list(lst), ctx, None)
+                    norm = {ctx.norm_key(k) for k in v}
+                    if norm <= {"@id", "@index"}:
+                        return node_ref(v, ctx), []
+                    sid = node_ref(v, ctx)
+                    return sid, list(walk(v, ctx, sid))
+                if tdef and tdef.get("type") == "@id" and isinstance(
+                    v, str
+                ):
+                    return ctx.expand_iri(v, doc_relative=True), []
+                return _jsonld_literal(v), []
+
+            def walk(node, ctx, sid=None):
+                if isinstance(node.get("@context"), (dict, list, str)):
+                    # a local context EXTENDS the active one (JSON-LD §4.1)
+                    child = _JsonLdCtx()
+                    child.terms = dict(ctx.terms)
+                    child.aliases = dict(ctx.aliases)
+                    child.vocab, child.base = ctx.vocab, ctx.base
+                    ctx = child.load(node["@context"])
+                if sid is None:
+                    sid = node_ref(node, ctx)
                 for key, vals in node.items():
-                    if key == "@type":
-                        types = vals if isinstance(vals, list) else [vals]
-                        for t in types:
+                    k = ctx.norm_key(key)
+                    if k in ("@context", "@id"):
+                        continue
+                    if k == "@type":
+                        for t in as_list(vals):
                             yield (
-                                sid,
-                                "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
-                                expand(t),
+                                sid, _RDF_TYPE,
+                                ctx.expand_iri(t, vocab=True,
+                                               doc_relative=True),
                             )
                         continue
-                    if key.startswith("@"):
+                    if k == "@graph":
+                        for sub in as_list(vals):
+                            yield from walk(sub, ctx)
                         continue
-                    pred = expand(key)
-                    items = vals if isinstance(vals, list) else [vals]
-                    for v in items:
-                        obj, nested = _jsonld_value(v)
-                        if nested is not None:
-                            sub = list(walk(nested))
-                            if sub:
-                                yield (sid, pred, sub[0][0])
+                    if k == "@reverse":
+                        for rkey, rvals in vals.items():
+                            pred = ctx.expand_iri(rkey, vocab=True)
+                            for v in as_list(rvals):
+                                oid, sub = obj_of(v, ctx, None)
+                                yield (oid, pred, sid)
                                 yield from sub
-                        else:
-                            yield (sid, pred, obj)
+                        continue
+                    if k.startswith("@") and k in _JSONLD_KEYWORDS:
+                        continue
+                    tdef = ctx.terms.get(key)
+                    pred = ctx.expand_iri(key, vocab=True)
+                    if tdef and tdef.get("reverse"):
+                        for v in as_list(vals):
+                            oid, sub = obj_of(v, ctx, None)
+                            yield (oid, pred, sid)
+                            yield from sub
+                        continue
+                    if tdef and tdef.get("container") == "@list" and \
+                            isinstance(vals, list):
+                        head, sub = emit_list(vals, ctx, tdef)
+                        yield (sid, pred, head)
+                        yield from sub
+                        continue
+                    for v in as_list(vals):
+                        oid, sub = obj_of(v, ctx, tdef)
+                        yield (sid, pred, oid)
+                        yield from sub
 
-            for node in _jsonld_nodes(doc):
-                yield from walk(node)
+            ctx0 = _JsonLdCtx()
+            if isinstance(doc, dict):
+                ctx0.load(doc.get("@context"))
+            top = doc
+            if isinstance(doc, dict):
+                graph = ctx0.get_kw(doc, "@graph")
+                # a top-level @graph wrapper with no @id of its own is the
+                # default graph; with an @id (or other props) it is a node
+                if graph is not None and ctx0.get_kw(doc, "@id") is None:
+                    top = graph
+                else:
+                    top = [doc]
+            for node in (top if isinstance(top, list) else [top]):
+                if isinstance(node, dict):
+                    yield from walk(node, ctx0)
 
     out = spark.createDataFrame(
         _whole_files(spark, path).rdd.mapPartitions(parse), _TRIPLE_SCHEMA
@@ -205,61 +379,194 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_XML_NS = "http://www.w3.org/XML/1998/namespace"
+
+# rdf: attributes that are syntax, never property attributes
+_RDFXML_SYNTAX_ATTRS = {
+    f"{{{_RDF_NS}}}{a}"
+    for a in ("about", "ID", "nodeID", "resource", "datatype", "parseType",
+              "aboutEach", "aboutEachPrefix", "bagID")
+}
+_XML_SYNTAX_ATTRS = {f"{{{_XML_NS}}}base", f"{{{_XML_NS}}}lang",
+                     f"{{{_XML_NS}}}space"}
+
+
+def _xml_qname(tag: str) -> str:
+    if tag.startswith("{"):
+        ns, local = tag[1:].split("}", 1)
+        return ns + local
+    return tag
+
+
+def _rdfxml_triples(text: str):
+    """Full-grammar RDF/XML walk (the surface Jena RIOT parses; reference
+    dispatch 'xml/rdf/owl' in core:data/RdfSource.scala:52-67):
+    rdf:Description + typed nodes; rdf:about / rdf:ID / rdf:nodeID
+    subjects; xml:base scoping with relative-IRI resolution; property
+    elements with rdf:resource / rdf:nodeID; property ATTRIBUTES on node
+    elements and on empty property elements (fresh blank node per spec
+    §2.12); rdf:datatype + xml:lang (lexical form kept, tags dropped —
+    the ParsedLiterals convention, Tsv.scala:15-120); parseType Resource /
+    Literal / Collection; rdf:li -> rdf:_n container items; rdf:type
+    attribute; reification quads for rdf:ID on property elements."""
+    from urllib.parse import urljoin
+
+    root = ElementTree.fromstring(text)
+    counter = [0]
+
+    def new_bnode():
+        counter[0] += 1
+        return f"_:b{counter[0]}"
+
+    def node_id(el, base):
+        about = el.get(f"{{{_RDF_NS}}}about")
+        if about is not None:
+            return urljoin(base, about) if base else about
+        rid = el.get(f"{{{_RDF_NS}}}ID")
+        if rid is not None:
+            return urljoin(base, f"#{rid}") if base else f"#{rid}"
+        nid = el.get(f"{{{_RDF_NS}}}nodeID")
+        if nid is not None:
+            return f"_:{nid}"
+        return new_bnode()
+
+    def attr_triples(el, sid, base):
+        """Property attributes on a node (or object) element."""
+        for k, v in el.attrib.items():
+            if k in _RDFXML_SYNTAX_ATTRS or k in _XML_SYNTAX_ATTRS:
+                continue
+            if not k.startswith("{"):  # unqualified attr: not a property
+                continue
+            pred = _xml_qname(k)
+            if pred == f"{_RDF_NS}type":
+                yield (sid, pred, urljoin(base, v) if base else v)
+            else:
+                yield (sid, pred, v)
+
+    def serialize_literal(el) -> str:
+        """parseType='Literal': inner XML exactly as written."""
+        parts = [el.text or ""]
+        for child in el:
+            parts.append(
+                ElementTree.tostring(child, encoding="unicode")
+            )
+        return "".join(parts)
+
+    def walk_node(el, base):
+        base = el.get(f"{{{_XML_NS}}}base", base)
+        sid = node_id(el, base)
+        tag = _xml_qname(el.tag)
+        if tag != f"{_RDF_NS}Description":
+            yield (sid, f"{_RDF_NS}type", tag)
+        yield from attr_triples(el, sid, base)
+        li_no = [0]
+        for prop in el:
+            yield from walk_prop(sid, prop, base, li_no)
+
+    def walk_prop(sid, prop, base, li_no):
+        base = prop.get(f"{{{_XML_NS}}}base", base)
+        pred = _xml_qname(prop.tag)
+        if pred == f"{_RDF_NS}li":
+            li_no[0] += 1
+            pred = f"{_RDF_NS}_{li_no[0]}"
+        rid = prop.get(f"{{{_RDF_NS}}}ID")
+        parse_type = prop.get(f"{{{_RDF_NS}}}parseType")
+        res = prop.get(f"{{{_RDF_NS}}}resource")
+        nid = prop.get(f"{{{_RDF_NS}}}nodeID")
+        children = list(prop)
+        prop_attrs = [
+            (k, v) for k, v in prop.attrib.items()
+            if k not in _RDFXML_SYNTAX_ATTRS
+            and k not in _XML_SYNTAX_ATTRS and k.startswith("{")
+        ]
+
+        out: list[tuple] = []
+        if parse_type == "Resource":
+            oid = new_bnode()
+            out.append((sid, pred, oid))
+            inner_li = [0]
+            for child in prop:
+                out.extend(walk_prop(oid, child, base, inner_li))
+        elif parse_type == "Literal":
+            out.append((sid, pred, serialize_literal(prop)))
+        elif parse_type == "Collection":
+            items = []
+            for child in children:
+                sub = list(walk_node(child, base))
+                items.append(sub[0][0] if sub else node_id(child, base))
+                out.extend(sub)
+            prev = None
+            head = f"{_RDF_NS}nil"
+            for item in reversed(items):
+                cell = new_bnode()
+                out.append((cell, f"{_RDF_NS}first", item))
+                out.append(
+                    (cell, f"{_RDF_NS}rest",
+                     prev if prev else f"{_RDF_NS}nil")
+                )
+                prev = cell
+                head = cell
+            out.append((sid, pred, head))
+        elif res is not None:
+            oid = urljoin(base, res) if base else res
+            out.append((sid, pred, oid))
+            for k, v in prop_attrs:  # attrs describe the object node
+                ap = _xml_qname(k)
+                out.append(
+                    (oid, ap, urljoin(base, v)
+                     if ap == f"{_RDF_NS}type" and base else v)
+                )
+        elif nid is not None:
+            oid = f"_:{nid}"
+            out.append((sid, pred, oid))
+            for k, v in prop_attrs:
+                out.append((oid, _xml_qname(k), v))
+        elif children:
+            for child in children:
+                sub = list(walk_node(child, base))
+                if sub:
+                    out.append((sid, pred, sub[0][0]))
+                    out.extend(sub)
+        elif prop_attrs:
+            # empty property element with property attributes (§2.12):
+            # the object is a fresh blank node described by the attrs
+            oid = new_bnode()
+            out.append((sid, pred, oid))
+            for k, v in prop_attrs:
+                ap = _xml_qname(k)
+                out.append(
+                    (oid, ap, v) if ap != f"{_RDF_NS}type"
+                    else (oid, ap, urljoin(base, v) if base else v)
+                )
+        else:
+            # text literal; rdf:datatype kept as lexical form only
+            out.append((sid, pred, prop.text or ""))
+
+        yield from out
+        if rid is not None:  # reification (§2.17)
+            stmt = urljoin(base, f"#{rid}") if base else f"#{rid}"
+            s0, p0, o0 = out[0]
+            yield (stmt, f"{_RDF_NS}type", f"{_RDF_NS}Statement")
+            yield (stmt, f"{_RDF_NS}subject", s0)
+            yield (stmt, f"{_RDF_NS}predicate", p0)
+            yield (stmt, f"{_RDF_NS}object", o0)
+
+    base0 = root.get(f"{{{_XML_NS}}}base", "")
+    if _xml_qname(root.tag) == f"{_RDF_NS}RDF":
+        for el in root:
+            yield from walk_node(el, base0)
+    else:  # document whose root is a single node element
+        yield from walk_node(root, base0)
 
 
 def read_rdfxml(spark: SparkSession, path: str) -> DataFrame:
-    """RDF/XML subset -> (s, p, o, okind): rdf:Description + typed node
-    elements, rdf:about/rdf:nodeID subjects, rdf:resource / text-literal /
-    nested-node property elements, rdf:type from typed nodes."""
+    """RDF/XML -> (s, p, o, okind); grammar surface in
+    :func:`_rdfxml_triples`. Whole-file parse per task (RDF/XML is a
+    sequential format — same parallelism unit as Jena RIOT)."""
 
     def parse(rows):
         for r in rows:
-            root = ElementTree.fromstring(r["value"])
-            counter = [0]
-
-            def node_id(el):
-                about = el.get(f"{{{_RDF_NS}}}about")
-                if about is not None:
-                    return about
-                nid = el.get(f"{{{_RDF_NS}}}nodeID")
-                if nid is not None:
-                    return f"_:{nid}"
-                rid = el.get(f"{{{_RDF_NS}}}ID")
-                if rid is not None:
-                    return rid
-                counter[0] += 1
-                return f"_:b{counter[0]}"
-
-            def qname(tag):
-                if tag.startswith("{"):
-                    ns, local = tag[1:].split("}", 1)
-                    return ns + local
-                return tag
-
-            def walk(el):
-                sid = node_id(el)
-                if qname(el.tag) != f"{_RDF_NS}Description":
-                    yield (sid, f"{_RDF_NS}type", qname(el.tag))
-                for prop in el:
-                    pred = qname(prop.tag)
-                    res = prop.get(f"{{{_RDF_NS}}}resource")
-                    nid = prop.get(f"{{{_RDF_NS}}}nodeID")
-                    children = list(prop)
-                    if res is not None:
-                        yield (sid, pred, res)
-                    elif nid is not None:
-                        yield (sid, pred, f"_:{nid}")
-                    elif children:
-                        for child in children:
-                            sub = list(walk(child))
-                            if sub:
-                                yield (sid, pred, sub[0][0])
-                                yield from sub
-                    else:
-                        yield (sid, pred, (prop.text or "").strip())
-
-            for el in root:
-                yield from walk(el)
+            yield from _rdfxml_triples(r["value"])
 
     out = spark.createDataFrame(
         _whole_files(spark, path).rdd.mapPartitions(parse), _TRIPLE_SCHEMA

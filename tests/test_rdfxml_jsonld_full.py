@@ -1,0 +1,284 @@
+"""Full-grammar RDF/XML and JSON-LD readers (sources/formats.py) against
+hand-derived W3C-spec examples (RDF/XML Syntax spec §2; JSON-LD 1.1 §4).
+Reference parses these through Jena RIOT (core:data/RdfSource.scala:52-67
+'xml/rdf/owl' and 'json/jsonld' dispatch).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rdfrules_spark.sources.formats import read_jsonld, read_rdfxml
+
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+EX = "http://ex.org/t#"
+
+
+def _triples(spark, tmp_path, name, text, reader):
+    p = tmp_path / name
+    p.write_text(text)
+    df = reader(spark, str(p))
+    return {(r["s"], r["p"], r["o"]) for r in df.collect()}
+
+
+def _chase_list(trips, head):
+    """Follow an rdf:first/rest chain; return the item list."""
+    items = []
+    while head != f"{RDF}nil":
+        first = [o for s, p, o in trips if s == head and p == f"{RDF}first"]
+        rest = [o for s, p, o in trips if s == head and p == f"{RDF}rest"]
+        assert len(first) == 1 and len(rest) == 1
+        items.append(first[0])
+        head = rest[0]
+    return items
+
+
+# ------------------------------------------------------------------ RDF/XML
+
+
+HDR = (
+    '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+    f'xmlns:ex="{EX}" '
+)
+
+
+def test_rdfxml_base_id_and_relative_resolution(spark, tmp_path):
+    doc = (
+        HDR + 'xml:base="http://ex.org/doc">'
+        '<rdf:Description rdf:ID="frag">'
+        '<ex:p rdf:resource="rel"/></rdf:Description></rdf:RDF>'
+    )
+    trips = _triples(spark, tmp_path, "a.rdf", doc, read_rdfxml)
+    assert trips == {
+        ("http://ex.org/doc#frag", f"{EX}p", "http://ex.org/rel")
+    }
+
+
+def test_rdfxml_parsetype_resource(spark, tmp_path):
+    doc = (
+        HDR + '><rdf:Description rdf:about="http://a">'
+        '<ex:p rdf:parseType="Resource"><ex:q>v</ex:q></ex:p>'
+        "</rdf:Description></rdf:RDF>"
+    )
+    trips = _triples(spark, tmp_path, "b.rdf", doc, read_rdfxml)
+    inner = next(o for s, p, o in trips if p == f"{EX}p")
+    assert inner.startswith("_:")
+    assert (inner, f"{EX}q", "v") in trips
+    assert len(trips) == 2
+
+
+def test_rdfxml_parsetype_collection(spark, tmp_path):
+    doc = (
+        HDR + '><rdf:Description rdf:about="http://s">'
+        '<ex:members rdf:parseType="Collection">'
+        '<rdf:Description rdf:about="http://m1"/>'
+        '<rdf:Description rdf:about="http://m2"/>'
+        '<rdf:Description rdf:about="http://m3"/>'
+        "</ex:members></rdf:Description></rdf:RDF>"
+    )
+    trips = _triples(spark, tmp_path, "c.rdf", doc, read_rdfxml)
+    head = next(o for s, p, o in trips if p == f"{EX}members")
+    assert _chase_list(trips, head) == [
+        "http://m1", "http://m2", "http://m3"
+    ]
+
+
+def test_rdfxml_parsetype_literal_keeps_inner_xml(spark, tmp_path):
+    doc = (
+        HDR + '><rdf:Description rdf:about="http://a">'
+        '<ex:p rdf:parseType="Literal"><b>bold</b> tail</ex:p>'
+        "</rdf:Description></rdf:RDF>"
+    )
+    trips = _triples(spark, tmp_path, "d.rdf", doc, read_rdfxml)
+    assert trips == {("http://a", f"{EX}p", "<b>bold</b> tail")}
+
+
+def test_rdfxml_li_containers(spark, tmp_path):
+    doc = (
+        HDR + "><rdf:Bag><rdf:li>one</rdf:li><rdf:li>two</rdf:li>"
+        "</rdf:Bag></rdf:RDF>"
+    )
+    trips = _triples(spark, tmp_path, "e.rdf", doc, read_rdfxml)
+    bag = next(s for s, p, o in trips if p == f"{RDF}type")
+    assert (bag, f"{RDF}type", f"{RDF}Bag") in trips
+    assert (bag, f"{RDF}_1", "one") in trips
+    assert (bag, f"{RDF}_2", "two") in trips
+
+
+def test_rdfxml_property_attributes(spark, tmp_path):
+    # on the node element + on an empty property element (spec 2.12)
+    doc = (
+        HDR + '><rdf:Description rdf:about="http://a" ex:name="Alice" '
+        f'rdf:type="{EX}Person">'
+        '<ex:addr ex:city="X" ex:zip="Y"/></rdf:Description></rdf:RDF>'
+    )
+    trips = _triples(spark, tmp_path, "f.rdf", doc, read_rdfxml)
+    assert ("http://a", f"{EX}name", "Alice") in trips
+    assert ("http://a", f"{RDF}type", f"{EX}Person") in trips
+    bn = next(o for s, p, o in trips if p == f"{EX}addr")
+    assert bn.startswith("_:")
+    assert (bn, f"{EX}city", "X") in trips and (bn, f"{EX}zip", "Y") in trips
+
+
+def test_rdfxml_reification(spark, tmp_path):
+    doc = (
+        HDR + 'xml:base="http://ex.org/doc">'
+        '<rdf:Description rdf:about="http://a">'
+        '<ex:p rdf:ID="st">v</ex:p></rdf:Description></rdf:RDF>'
+    )
+    trips = _triples(spark, tmp_path, "g.rdf", doc, read_rdfxml)
+    stmt = "http://ex.org/doc#st"
+    assert ("http://a", f"{EX}p", "v") in trips
+    assert (stmt, f"{RDF}type", f"{RDF}Statement") in trips
+    assert (stmt, f"{RDF}subject", "http://a") in trips
+    assert (stmt, f"{RDF}predicate", f"{EX}p") in trips
+    assert (stmt, f"{RDF}object", "v") in trips
+
+
+def test_rdfxml_datatype_and_lang_drop_tags(spark, tmp_path):
+    doc = (
+        HDR + '><rdf:Description rdf:about="http://a">'
+        '<ex:n rdf:datatype="http://www.w3.org/2001/XMLSchema#int">42'
+        "</ex:n>"
+        '<ex:l xml:lang="en">hello</ex:l></rdf:Description></rdf:RDF>'
+    )
+    trips = _triples(spark, tmp_path, "h.rdf", doc, read_rdfxml)
+    assert ("http://a", f"{EX}n", "42") in trips
+    assert ("http://a", f"{EX}l", "hello") in trips
+
+
+def test_rdfxml_typed_node_and_nested(spark, tmp_path):
+    doc = (
+        HDR + '><ex:Person rdf:about="http://a">'
+        '<ex:knows><ex:Person rdf:about="http://b"/></ex:knows>'
+        "</ex:Person></rdf:RDF>"
+    )
+    trips = _triples(spark, tmp_path, "i.rdf", doc, read_rdfxml)
+    assert trips == {
+        ("http://a", f"{RDF}type", f"{EX}Person"),
+        ("http://b", f"{RDF}type", f"{EX}Person"),
+        ("http://a", f"{EX}knows", "http://b"),
+    }
+
+
+# ------------------------------------------------------------------ JSON-LD
+
+
+def test_jsonld_context_expansion(spark, tmp_path):
+    doc = """{
+      "@context": {
+        "ex": "http://ex.org/",
+        "name": "http://xmlns.com/foaf/0.1/name",
+        "knows": {"@id": "http://xmlns.com/foaf/0.1/knows",
+                  "@type": "@id"},
+        "@base": "http://base.org/", "@vocab": "http://voc.org/"
+      },
+      "@id": "me", "@type": "ex:Person",
+      "name": "Alice", "knows": "you", "plain": "v"
+    }"""
+    trips = _triples(spark, tmp_path, "a.jsonld", doc, read_jsonld)
+    me = "http://base.org/me"
+    assert (me, f"{RDF}type", "http://ex.org/Person") in trips
+    assert (me, "http://xmlns.com/foaf/0.1/name", "Alice") in trips
+    assert (
+        me, "http://xmlns.com/foaf/0.1/knows", "http://base.org/you"
+    ) in trips
+    assert (me, "http://voc.org/plain", "v") in trips
+    assert len(trips) == 4
+
+
+def test_jsonld_list_container_and_explicit_list(spark, tmp_path):
+    doc = """{
+      "@context": {"ex": "http://ex.org/",
+                   "lst": {"@id": "ex:lst", "@container": "@list"}},
+      "@id": "ex:s", "lst": ["a", "b"],
+      "ex:other": {"@list": ["x"]}
+    }"""
+    trips = _triples(spark, tmp_path, "b.jsonld", doc, read_jsonld)
+    h1 = next(o for s, p, o in trips if p == "http://ex.org/lst")
+    assert _chase_list(trips, h1) == ["a", "b"]
+    h2 = next(o for s, p, o in trips if p == "http://ex.org/other")
+    assert _chase_list(trips, h2) == ["x"]
+
+
+def test_jsonld_reverse_and_reverse_term(spark, tmp_path):
+    doc = """{
+      "@context": {"children": {"@reverse": "http://parent"}},
+      "@id": "http://a",
+      "@reverse": {"http://p": {"@id": "http://b"}},
+      "children": [{"@id": "http://c1"}, {"@id": "http://c2"}]
+    }"""
+    trips = _triples(spark, tmp_path, "c.jsonld", doc, read_jsonld)
+    assert ("http://b", "http://p", "http://a") in trips
+    assert ("http://c1", "http://parent", "http://a") in trips
+    assert ("http://c2", "http://parent", "http://a") in trips
+
+
+def test_jsonld_keyword_aliases(spark, tmp_path):
+    doc = """{
+      "@context": {"id": "@id", "type": "@type",
+                   "ex": "http://ex.org/"},
+      "id": "http://a", "type": "ex:T", "ex:p": {"id": "http://b"}
+    }"""
+    trips = _triples(spark, tmp_path, "d.jsonld", doc, read_jsonld)
+    assert ("http://a", f"{RDF}type", "http://ex.org/T") in trips
+    assert ("http://a", "http://ex.org/p", "http://b") in trips
+
+
+def test_jsonld_nested_graph_and_local_context(spark, tmp_path):
+    doc = """{
+      "@context": {"ex": "http://ex.org/"},
+      "@graph": [
+        {"@id": "ex:a", "ex:p": "1"},
+        {"@context": {"nm": "http://nm.org/name"},
+         "@id": "ex:b", "nm": "Bob", "ex:p": "2"}
+      ]
+    }"""
+    trips = _triples(spark, tmp_path, "e.jsonld", doc, read_jsonld)
+    assert ("http://ex.org/a", "http://ex.org/p", "1") in trips
+    assert ("http://ex.org/b", "http://nm.org/name", "Bob") in trips
+    assert ("http://ex.org/b", "http://ex.org/p", "2") in trips
+
+
+def test_jsonld_value_objects_and_numbers(spark, tmp_path):
+    doc = """[
+      {"@id": "http://a",
+       "http://p": [{"@value": 4.0,
+                     "@type": "http://www.w3.org/2001/XMLSchema#double"},
+                    {"@value": "chat", "@language": "fr"},
+                    true, 7]}
+    ]"""
+    trips = _triples(spark, tmp_path, "f.jsonld", doc, read_jsonld)
+    objs = {o for s, p, o in trips if p == "http://p"}
+    # lexical forms kept, tags dropped; integral double collapses (the
+    # repo-wide ParsedLiterals cooperative-numeric convention)
+    assert objs == {"4", "chat", "true", "7"}
+
+
+def test_jsonld_nested_node_objects_bnodes(spark, tmp_path):
+    doc = """{
+      "@context": {"ex": "http://ex.org/"},
+      "@id": "ex:a",
+      "ex:knows": {"ex:name": "Anon", "ex:age": 33}
+    }"""
+    trips = _triples(spark, tmp_path, "g.jsonld", doc, read_jsonld)
+    bn = next(o for s, p, o in trips if p == "http://ex.org/knows")
+    assert bn.startswith("_:")
+    assert (bn, "http://ex.org/name", "Anon") in trips
+    assert (bn, "http://ex.org/age", "33") in trips
+
+
+@pytest.mark.parametrize("fmt,reader", [("rdf", read_rdfxml)])
+def test_reference_test_resource_parses(spark, tmp_path, fmt, reader):
+    """The reference repo's own RDF/XML test resource (if present) parses
+    without error and yields a plausible triple count."""
+    import glob
+    import os
+
+    cands = glob.glob(
+        "/root/reference/core/src/test/resources/*." + fmt
+    ) + glob.glob("/root/reference/core/src/test/resources/*.xml")
+    if not cands:
+        pytest.skip("no RDF/XML resource in the reference snapshot")
+    df = reader(spark, cands[0])
+    assert df.count() > 0
