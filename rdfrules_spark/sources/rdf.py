@@ -27,6 +27,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from rdfrules_spark.dictionary import term_kind
 
@@ -41,15 +42,46 @@ _NT_LINE = rf"^\s*({_TERM})\s+({_TERM})\s+({_TERM})\s*\.\s*$"
 _NQ_LINE = rf"^\s*({_TERM})\s+({_TERM})\s+({_TERM})(?:\s+({_TERM}))?\s*\.\s*$"
 
 
+def _nt_unescape_str(s: str) -> str:
+    """Single-pass N-Triples string unescape: ECHAR (\\t \\b \\n \\r \\f
+    \\" \\' \\\\) + \\uXXXX/\\UXXXXXXXX numeric escapes (the full grammar
+    Jena decodes; unknown escapes pass through leniently)."""
+    from rdfrules_spark.sources.turtle import _ECHAR, _ESCAPE_RE
+
+    def sub(m):
+        e = m.group(1)
+        if e[0] == "u" and len(e) == 5:
+            return chr(int(e[1:], 16))
+        if e[0] == "U" and len(e) == 9:
+            return chr(int(e[1:], 16))
+        return _ECHAR.get(e, "\\" + e)
+
+    return _ESCAPE_RE.sub(sub, s)
+
+
+# DataType object (not a DDL string) so the udf builds without a session
+@F.pandas_udf(T.StringType())
+def _nt_unescape_udf(col):
+    return col.map(
+        lambda s: _nt_unescape_str(s) if s is not None else None
+    )
+
+
 def _decode_term(col):
     """Strip <> from URIs; unquote literals (keep lexical form; drop
     datatype/lang tags like the reference's ParsedLiterals mode keeps the
-    typed VALUE, core:data/formats/Tsv.scala:15-120)."""
+    typed VALUE, core:data/formats/Tsv.scala:15-120).
+
+    Escape decoding is two-tier: literals WITHOUT a backslash (the bulk)
+    stay entirely JVM-side; only escaped literals route through the
+    Arrow-vectorized single-pass decoder (chained regexp_replace cannot
+    decode ECHAR correctly — '\\\\n' must stay backslash-n — and cannot
+    decode \\uXXXX at all)."""
     uri = F.regexp_replace(col, r"^<|>$", "")
     lit = F.regexp_extract(col, r'^"((?:[^"\\]|\\.)*)"', 1)
-    unescaped = F.regexp_replace(
-        F.regexp_replace(lit, r'\\"', '"'), r"\\\\", r"\\"
-    )
+    unescaped = F.when(
+        lit.contains("\\"), _nt_unescape_udf(lit)
+    ).otherwise(lit)
     return F.when(col.startswith("<"), uri).when(
         col.startswith('"'), unescaped
     ).otherwise(col)
@@ -160,14 +192,26 @@ def read_rdf(spark: SparkSession, path: str, **kw) -> DataFrame:
     raise ValueError(f"unsupported RDF extension: {path}")
 
 
+def _nt_escape(c):
+    """ECHAR-escape a literal for N-Triples/N-Quads output: backslash
+    FIRST (later passes only introduce fresh backslashes before safe
+    chars), then quote and the control chars whose raw form would break
+    the line-oriented format (NT spec: \\n \\r \\t \\b \\f). All
+    JVM-side. NB replacement strings are Java Matcher replacements:
+    backslashes are doubled there too ('\\\\\\\\' emits one literal)."""
+    out = F.regexp_replace(c, r"\\", r"\\\\")
+    for pat, rep in (
+        ('"', r'\\"'), ("\n", r"\\n"), ("\r", r"\\r"),
+        ("\t", r"\\t"), ("\b", r"\\b"), ("\f", r"\\f"),
+    ):
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
 def write_nt(df: DataFrame, path: str) -> None:
     """Graph export as N-Triples (core:data/Graph.scala:52-60). URIs get
     angle brackets; non-uri objects are written as quoted literals."""
-    # NB replacement strings are Java Matcher replacements: backslashes
-    # must be doubled there too ('\\\\' emits one literal backslash)
-    esc = lambda c: F.regexp_replace(  # noqa: E731
-        F.regexp_replace(c, r"\\", r"\\\\"), '"', r'\\"'
-    )
+    esc = _nt_escape
     okind = df["okind"] if "okind" in df.columns else term_kind(F.col("o"))
     line = F.concat(
         F.lit("<"), "s", F.lit("> <"), "p", F.lit("> "),
@@ -182,9 +226,7 @@ def write_nq(df: DataFrame, path: str) -> None:
     """Dataset export as N-Quads (core:data/Dataset.scala export;
     DatasetSpec.scala:51-65 writes test.nq with its graphs). Same term
     rules as write_nt plus the graph label before the final dot."""
-    esc = lambda c: F.regexp_replace(  # noqa: E731
-        F.regexp_replace(c, r"\\", r"\\\\"), '"', r'\\"'
-    )
+    esc = _nt_escape
     okind = df["okind"] if "okind" in df.columns else term_kind(F.col("o"))
     line = F.concat(
         F.lit("<"), "s", F.lit("> <"), "p", F.lit("> "),
