@@ -85,12 +85,21 @@ def _atomic_write(path: str, payload: str) -> None:
 
 
 def _excl_write(path: str, payload: str) -> None:
-    """Create-exclusive write: the commit point of the optimistic protocol."""
-    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    """Create-exclusive write: the commit point of the optimistic
+    protocol. The payload is fully written to a temp file first and
+    hard-linked into place — link(2) is atomic in existence AND content,
+    so a crash can never leave a torn metadata file that a reader's
+    version roll-forward would trip over (plain O_EXCL create-then-write
+    could)."""
+    tmp = f"{path}.commit.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        os.write(fd, payload.encode())
+        os.link(tmp, path)  # FileExistsError = lost the race -> caller retries
     finally:
-        os.close(fd)
+        os.remove(tmp)
 
 
 def _json_safe(v):
