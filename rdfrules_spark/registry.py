@@ -2969,3 +2969,83 @@ def q_ice_pruned_scan(spark, sf_dir):
         filters=[("event_type", "in", ["click", "view"]),
                  ("value", ">=", 50.0)]
     )
+
+
+@register(
+    "rdfxml_roundtrip",
+    """
+    select concat('http://kg/nation/', n_nationkey) as s,
+           'http://kg/t#name' as p, n_name as o from nation
+    union all
+    select concat('http://kg/nation/', n_nationkey),
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+           'http://kg/t#Nation' from nation
+    """,
+)
+def q_rdfxml_roundtrip(spark, sf_dir):
+    """RDF/XML writer-side template -> full-grammar reader round-trip
+    (sources/formats.py _rdfxml_triples; reference 'xml/rdf/owl' dispatch
+    RdfSource.scala:52-67): typed nodes with property attributes parse to
+    the same triples the relational oracle produces."""
+    import os
+    import tempfile
+
+    from rdfrules_spark.sources.formats import read_rdfxml
+
+    rows = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    body = "".join(
+        f'<t:Nation rdf:about="http://kg/nation/{r.n_nationkey}" '
+        f't:name="{r.n_name}"/>'
+        for r in rows
+    )
+    doc = (
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:t="http://kg/t#">' + body + "</rdf:RDF>"
+    )
+    d = tempfile.mkdtemp(prefix="rdfrules_rdfxml_")
+    with open(os.path.join(d, "nations.rdf"), "w") as f:
+        f.write(doc)
+    return read_rdfxml(spark, os.path.join(d, "nations.rdf")).select(
+        "s", "p", "o"
+    )
+
+
+@register(
+    "jsonld_triples",
+    """
+    select concat('http://kg/region/', r_regionkey) as s,
+           'http://kg/t#name' as p, r_name as o, 'text' as okind
+    from region
+    union all
+    select concat('http://kg/region/', r_regionkey),
+           'http://kg/t#key', cast(r_regionkey as varchar), 'number'
+    from region
+    """,
+)
+def q_jsonld_triples(spark, sf_dir):
+    """JSON-LD document (context with @vocab + @base + term def) -> triples
+    through the full context-processing reader (sources/formats.py;
+    reference 'json/jsonld' dispatch RdfSource.scala:52-67)."""
+    import json as _j
+    import os
+    import tempfile
+
+    from rdfrules_spark.sources.formats import read_jsonld
+
+    rows = _t(spark, sf_dir, "region").select("r_regionkey", "r_name").collect()
+    doc = {
+        "@context": {
+            "@vocab": "http://kg/t#",
+            "@base": "http://kg/",
+            "name": "http://kg/t#name",
+        },
+        "@graph": [
+            {"@id": f"region/{r.r_regionkey}", "name": r.r_name,
+             "key": r.r_regionkey}
+            for r in rows
+        ],
+    }
+    d = tempfile.mkdtemp(prefix="rdfrules_jsonld_")
+    with open(os.path.join(d, "regions.jsonld"), "w") as f:
+        _j.dump(doc, f)
+    return read_jsonld(spark, os.path.join(d, "regions.jsonld"))
