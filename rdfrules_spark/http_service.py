@@ -149,9 +149,23 @@ class TaskServer:
             target=self.httpd.serve_forever, daemon=True
         )
         self._serve_thread.start()
+        # autonomous idle sweeper (Task.scala setReceiveTimeout fires
+        # without traffic; purging only on request would let an abandoned
+        # task's Spark jobs run forever on a quiet server)
+        self._stop_sweeper = threading.Event()
+
+        def sweep():
+            period = max(1.0, min(60.0, self.idle_timeout_s / 4))
+            while not self._stop_sweeper.wait(period):
+                self._purge_idle()
+
+        self._sweeper = threading.Thread(target=sweep, daemon=True)
+        self._sweeper.start()
         return self
 
     def stop(self) -> None:
+        if getattr(self, "_stop_sweeper", None) is not None:
+            self._stop_sweeper.set()
         self.httpd.shutdown()
         self.httpd.server_close()
         with self.tasks_lock:
@@ -380,10 +394,12 @@ def _make_handler(server: TaskServer):
                      "finished": t.finished, "messages": msgs,
                      "error": err or state},
                 )
-            # done: stream with the reference's framing (Task.scala:55-60),
-            # then forget the task (Behaviors.stopped after GetResult)
+            # done: stream with the reference's framing (Task.scala:55-60);
+            # forget the task only AFTER a fully-delivered stream
+            # (Behaviors.stopped after GetResult) — a mid-stream failure
+            # keeps it retrievable, and once the body has started a 500
+            # must NOT be written into the open chunked stream
             df = t.result_df
-            server.forget(t.id)
             header = json.dumps(
                 {"id": t.id, "started": t.started, "finished": t.finished,
                  "messages": msgs}
@@ -400,13 +416,19 @@ def _make_handler(server: TaskServer):
                 self.wfile.write(data)
                 self.wfile.write(b"\r\n")
 
-            chunk(header.encode() + b', "result": [')
-            first = True
-            for row_json in df.toJSON().toLocalIterator():
-                chunk((b"" if first else b",") + row_json.encode())
-                first = False
-            chunk(b"]}")
-            self.wfile.write(b"0\r\n\r\n")
+            try:
+                chunk(header.encode() + b', "result": [')
+                first = True
+                for row_json in df.toJSON().toLocalIterator():
+                    chunk((b"" if first else b",") + row_json.encode())
+                    first = False
+                chunk(b"]}")
+                self.wfile.write(b"0\r\n\r\n")
+            except Exception as e:  # noqa: BLE001 — body already started
+                t.log(f"result stream aborted: {type(e).__name__}: {e}")
+                self.close_connection = True
+                return
+            server.forget(t.id)
 
         # ------------------------------------------------------ workspace
 
@@ -474,11 +496,10 @@ def _make_handler(server: TaskServer):
         def _post_cache_alias(self, _cache_id: str):
             # form field "alias" (Cache.scala:27-33); cached DataFrames in
             # this engine are Spark-managed, aliasing is a metadata no-op
-            body = self._body().decode()
-            alias = ""
-            for kv in body.split("&"):
-                if kv.startswith("alias="):
-                    alias = kv.split("=", 1)[1].strip()
+            from urllib.parse import parse_qs
+
+            form = parse_qs(self._body().decode())
+            alias = (form.get("alias", [""])[0] or "").strip()
             if not alias:
                 return self._send_json(
                     400, {"error": "Validation",

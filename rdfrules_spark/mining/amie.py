@@ -234,7 +234,20 @@ def _head_rel(triples: DataFrame, params: MiningParams, a: str, b: str) -> DataF
 
 def _lt_ratios(triples: DataFrame, params: MiningParams) -> DataFrame:
     """Per-predicate supportIncreaseRatio = head_size / realized sample
-    size, from the SAME deterministic filter _head_rel applies."""
+    size, from the SAME deterministic filter _head_rel applies.
+
+    Memoized on the triples object (keyed by the sampling params) and
+    materialized once: every shape stage of one mine() run joins the
+    same |P|-row table instead of re-aggregating the full triple set
+    per _scale_support call site (~2 full scans each, 6 sites)."""
+    key = (params.local_timeout_me, params.local_timeout_dme,
+           params.injective)
+    cache = getattr(triples, "_lt_ratio_cache", None)
+    if cache is None:
+        cache = {}
+        triples._lt_ratio_cache = cache
+    if key in cache:
+        return cache[key]
     h = triples.select(F.col("s").alias("_a"), F.col("o").alias("_b"), "p")
     if params.injective:
         h = h.where(F.col("_a") != F.col("_b"))
@@ -245,9 +258,11 @@ def _lt_ratios(triples: DataFrame, params: MiningParams) -> DataFrame:
                                F.col("_full")))
         .groupBy("p").agg(F.count(F.lit(1)).alias("_n"))
     )
-    return full.join(sampled, "p").select(
+    out = full.join(sampled, "p").select(
         "p", (F.col("_full") / F.col("_n")).alias("_ratio")
-    )
+    ).localCheckpoint(eager=True)
+    cache[key] = out
+    return out
 
 
 def _scale_support(

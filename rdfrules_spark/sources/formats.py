@@ -524,9 +524,11 @@ def _rdfxml_triples(text: str):
         elif children:
             for child in children:
                 sub = list(walk_node(child, base))
-                if sub:
-                    out.append((sid, pred, sub[0][0]))
-                    out.extend(sub)
+                # a bare rdf:Description object yields no triples of its
+                # own, but the membership triple still exists (Jena does)
+                oid = sub[0][0] if sub else node_id(child, base)
+                out.append((sid, pred, oid))
+                out.extend(sub)
         elif prop_attrs:
             # empty property element with property attributes (§2.12):
             # the object is a fresh blank node described by the attrs
@@ -545,7 +547,11 @@ def _rdfxml_triples(text: str):
         yield from out
         if rid is not None:  # reification (§2.17)
             stmt = urljoin(base, f"#{rid}") if base else f"#{rid}"
-            s0, p0, o0 = out[0]
+            # reify the asserted MEMBERSHIP triple (sid, pred, ...) — in
+            # the Collection branch out[0] is an rdf:first cell, not it
+            s0, p0, o0 = next(
+                t for t in out if t[0] == sid and t[1] == pred
+            )
             yield (stmt, f"{_RDF_NS}type", f"{_RDF_NS}Statement")
             yield (stmt, f"{_RDF_NS}subject", s0)
             yield (stmt, f"{_RDF_NS}predicate", p0)

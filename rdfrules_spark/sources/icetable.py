@@ -177,13 +177,35 @@ def _harvest_footers(
     return {r["path"]: json.loads(r["entry_json"]) for r in rows}
 
 
+_HIVE_ESC_RE = None  # compiled lazily (module import stays light)
+
+
+def _hive_unescape(v: str) -> str | None:
+    """Invert Hive/Spark partition-dir escaping: '%XX' hex sequences
+    (escapePathName encodes '/', ':', '=', '#', '%', control chars, ...)
+    and the null sentinel. Without this, a partition value that contains
+    any escaped character (e.g. a URI-valued predicate column) would be
+    stored escaped in the manifest and manifest pruning would wrongly
+    drop every file of that partition."""
+    global _HIVE_ESC_RE
+    if v == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if "%" not in v:
+        return v
+    if _HIVE_ESC_RE is None:
+        import re
+
+        _HIVE_ESC_RE = re.compile("%([0-9A-Fa-f]{2})")
+    return _HIVE_ESC_RE.sub(lambda m: chr(int(m.group(1), 16)), v)
+
+
 def _partition_values(path: str, partition_by: list[str]) -> dict:
     """Parse ``__p_<col>=value`` dir segments back to partition values."""
     vals: dict = {}
     for seg in path.split(os.sep):
         if "=" in seg and seg.startswith("__p_"):
             k, v = seg.split("=", 1)
-            vals[k[len("__p_"):]] = v
+            vals[k[len("__p_"):]] = _hive_unescape(v)
     return {c: vals.get(c) for c in partition_by}
 
 
@@ -248,12 +270,20 @@ class IceTable:
             v += 1
         return v
 
-    def metadata(self) -> dict:
+    def _versioned_metadata(self) -> tuple[int, dict]:
+        """(version, metadata) captured from ONE version resolution — the
+        optimistic protocol is only sound if the base version and the
+        snapshot list it swings from come from the same read (a separate
+        re-read of the version could absorb a concurrent commit and
+        silently drop its snapshot: lost update)."""
         v = self._current_version()
         with open(
             os.path.join(self.meta_dir, f"v{v}.metadata.json")
         ) as f:
-            return json.load(f)
+            return v, json.load(f)
+
+    def metadata(self) -> dict:
+        return self._versioned_metadata()[1]
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(self.metadata()["schema"])
@@ -315,13 +345,12 @@ class IceTable:
             os.path.join(self.meta_dir, manifest_name), _canon(entries)
         )
         for _ in range(retries):
-            meta = self.metadata()
+            v, meta = self._versioned_metadata()
             if idempotency_key is not None and any(
                 s["summary"].get("idempotency-key") == idempotency_key
                 for s in meta["snapshots"]
             ):
                 return {}  # exactly-once: this commit already landed
-            v = self._current_version()
             prev = None
             live: list[str] = []
             if meta["current-snapshot-id"] is not None:
@@ -561,8 +590,11 @@ class IceTable:
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop all but the newest ``keep_last`` snapshots and delete data
-        files + manifests no surviving snapshot references."""
-        meta = self.metadata()
+        files + manifests no surviving snapshot references. Metadata swing
+        uses the same captured-version optimistic protocol as _commit
+        (a concurrent commit between read and write -> clean conflict,
+        never a lost update)."""
+        v, meta = self._versioned_metadata()
         snaps = sorted(meta["snapshots"], key=lambda s: s["timestamp-ms"])
         keep = snaps[-keep_last:] if keep_last > 0 else []
         keep_ids = {s["snapshot-id"] for s in keep}
@@ -578,6 +610,27 @@ class IceTable:
             with open(os.path.join(self.meta_dir, m)) as f:
                 live_files.update(e["path"] for e in json.load(f))
         removed = 0
+        meta["snapshots"] = keep
+        meta["snapshot-log"] = [
+            ln
+            for ln in meta["snapshot-log"]
+            if ln["snapshot-id"] in keep_ids
+        ]
+        # swing the metadata FIRST: on conflict nothing has been deleted;
+        # after the swing the dead snapshots are unreachable, so orphan
+        # deletion below can never break a reachable time travel
+        try:
+            _excl_write(
+                os.path.join(self.meta_dir, f"v{v + 1}.metadata.json"),
+                _canon(meta),
+            )
+        except FileExistsError as e:
+            raise CommitConflictError(
+                f"concurrent commit during expire at {self.path}"
+            ) from e
+        _atomic_write(
+            os.path.join(self.meta_dir, "version-hint.text"), str(v + 1)
+        )
         for s in dead:
             for m in s["manifest-list"]:
                 if m in live_manifests:
@@ -593,20 +646,6 @@ class IceTable:
                             os.remove(e["path"])
                             removed += 1
                 os.remove(mp)
-        meta["snapshots"] = keep
-        meta["snapshot-log"] = [
-            ln
-            for ln in meta["snapshot-log"]
-            if ln["snapshot-id"] in keep_ids
-        ]
-        v = self._current_version()
-        _excl_write(
-            os.path.join(self.meta_dir, f"v{v + 1}.metadata.json"),
-            _canon(meta),
-        )
-        _atomic_write(
-            os.path.join(self.meta_dir, "version-hint.text"), str(v + 1)
-        )
         return removed
 
 

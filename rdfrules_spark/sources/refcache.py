@@ -58,10 +58,22 @@ def _java_num_str(x: float) -> str:
     r = repr(x)
     if 1e-3 <= a < 1e7 or x == 0.0:
         return r if ("." in r and "e" not in r) else format(x, ".1f")
-    m, _, e = r.partition("e")
-    if "." not in m:
-        m += ".0"
-    return f"{m}E{int(e)}"
+    # E-notation ranges. Java switches at [1e-3, 1e7) but Python repr at
+    # [1e-4, 1e16): in [1e7, 1e16) and [1e-4, 1e-3) the repr is PLAIN
+    # decimal, so the digit string + exponent must be derived, not just
+    # re-punctuated (partition('e') used to crash here on e.g. 4.138e11).
+    neg = r.startswith("-")
+    rr = r.lstrip("-")
+    mant_s, _, exp_s = rr.partition("e")
+    exp = int(exp_s) if exp_s else 0
+    point = mant_s.find(".")
+    int_len = point if point >= 0 else len(mant_s)
+    digits = mant_s.replace(".", "")
+    sig = digits.lstrip("0")
+    e10 = int_len - (len(digits) - len(sig)) - 1 + exp
+    sig = sig.rstrip("0") or "0"
+    mant = sig[0] + "." + (sig[1:] or "0")
+    return ("-" if neg else "") + mant + "E" + str(e10)
 
 
 def _read_frame(buf: bytes, pos: int) -> tuple[bytes, int]:

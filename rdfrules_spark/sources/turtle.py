@@ -436,7 +436,8 @@ def parse_turtle(text: str, salt: str = "", trig: bool = False):
 def collect_prefixes(text: str) -> tuple[dict, str]:
     """All @prefix/PREFIX declarations and the LAST @base of a document —
     the full-document replacement for the round-2 first-2000-lines sniff
-    (used by prefix ops, sources/prefixes.py)."""
+    (companion to the prefix ops in sources/prefixes.py, which manage
+    user prefixes independently of the parse)."""
     p = _Parser(text, trig=True)
     try:
         p.parse()

@@ -266,3 +266,62 @@ def test_triple_store_ice_resume(spark, tmp_path):
     bucket = triples.select("pred_bucket").first()["pred_bucket"]
     sub = t.plan_files(filters=[("pred_bucket", "=", bucket)])
     assert 0 < len(sub) < len(t.plan_files())
+
+
+def test_uri_partition_values_prune_correctly(spark, tmp_path):
+    """Partition values containing characters Spark hive-escapes in dir
+    names (URIs: '/', ':') must round-trip through the manifest — before
+    the _hive_unescape fix, pruning compared the escaped form and
+    silently dropped every file of the partition."""
+    rows = [("a", "http://ex.org/knows", "b"),
+            ("c", "http://ex.org/knows", "d"),
+            ("e", "http://ex.org/likes", "f")]
+    df = spark.createDataFrame(rows, "s string, p string, o string")
+    t = IceTable.create(
+        spark, str(tmp_path / "uri_part"), df.schema, partition_by=["p"]
+    )
+    t.append(df)
+    plan = t.plan_files(filters=[("p", "=", "http://ex.org/knows")])
+    assert plan and all(
+        e["partition"]["p"] == "http://ex.org/knows" for e in plan
+    )
+    got = t.scan(filters=[("p", "=", "http://ex.org/knows")])
+    assert got.count() == 2
+    assert t.scan(filters=[("p", "in", ["http://ex.org/likes"])]).count() == 1
+
+
+def test_concurrent_snapshot_is_never_lost(spark, table, monkeypatch):
+    """Lost-update guard: a snapshot committed by another writer between
+    our metadata read and our version swing must survive (the commit
+    retries against the NEW base; before the captured-version fix it
+    could be silently dropped)."""
+    ev = _events(spark)
+    table.append(ev.limit(3))
+    real_vm = IceTable._versioned_metadata
+    state = {"stolen": False}
+
+    def racing_vm(self):
+        v, meta = real_vm(self)
+        if not state["stolen"]:
+            state["stolen"] = True
+            import copy
+
+            m2 = copy.deepcopy(meta)
+            theirs = copy.deepcopy(m2["snapshots"][-1])
+            theirs["snapshot-id"] = "theirs-123"
+            theirs["summary"] = {"idempotency-key": "theirs"}
+            m2["snapshots"].append(theirs)
+            m2["current-snapshot-id"] = "theirs-123"
+            with open(
+                os.path.join(self.meta_dir, f"v{v + 1}.metadata.json"),
+                "w",
+            ) as f:
+                json.dump(m2, f)
+        return v, meta
+
+    monkeypatch.setattr(IceTable, "_versioned_metadata", racing_vm)
+    table.append(ev.limit(7))
+    monkeypatch.setattr(IceTable, "_versioned_metadata", real_vm)
+    ids = [s["snapshot-id"] for s in table.snapshots()]
+    assert "theirs-123" in ids  # the raced snapshot survived
+    assert len(ids) == 3

@@ -282,3 +282,38 @@ def test_reference_test_resource_parses(spark, tmp_path, fmt, reader):
         pytest.skip("no RDF/XML resource in the reference snapshot")
     df = reader(spark, cands[0])
     assert df.count() > 0
+
+
+def test_rdfxml_bare_description_object_keeps_membership(spark, tmp_path):
+    """A property element whose object is a bare rdf:Description (no type,
+    attrs, or sub-properties) still asserts the membership triple."""
+    doc = (
+        HDR + '><rdf:Description rdf:about="http://a">'
+        '<ex:knows><rdf:Description rdf:about="http://b"/></ex:knows>'
+        "</rdf:Description></rdf:RDF>"
+    )
+    trips = _triples(spark, tmp_path, "j.rdf", doc, read_rdfxml)
+    assert trips == {("http://a", f"{EX}knows", "http://b")}
+
+
+def test_rdfxml_collection_reification_reifies_membership(spark, tmp_path):
+    """rdf:ID on a parseType=Collection property element reifies the
+    MEMBERSHIP triple (s, p, listhead), not an rdf:first cell."""
+    doc = (
+        HDR + 'xml:base="http://ex.org/doc">'
+        '<rdf:Description rdf:about="http://s">'
+        '<ex:members rdf:parseType="Collection" rdf:ID="st">'
+        '<rdf:Description rdf:about="http://m1"/>'
+        "</ex:members></rdf:Description></rdf:RDF>"
+    )
+    trips = _triples(spark, tmp_path, "k.rdf", doc, read_rdfxml)
+    stmt = "http://ex.org/doc#st"
+    subj = next(o for s, p, o in trips
+                if s == stmt and p == f"{RDF}subject")
+    pred = next(o for s, p, o in trips
+                if s == stmt and p == f"{RDF}predicate")
+    obj = next(o for s, p, o in trips
+               if s == stmt and p == f"{RDF}object")
+    assert subj == "http://s" and pred == f"{EX}members"
+    # the reified object is the list head cell, whose first item is m1
+    assert _chase_list(trips, obj) == ["http://m1"]

@@ -118,3 +118,21 @@ def test_canonical_roundtrip_with_literals(spark):
         assert {r["g"] for r in back.collect()} == {""}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_java_num_str_plain_decimal_repr_ranges():
+    """Doubles in [1e7, 1e16) and [1e-4, 1e-3): Python repr is plain
+    decimal while Java uses E-notation — these used to crash on
+    int('')."""
+    from rdfrules_spark.sources.refcache import _java_num_str as j
+
+    assert j(4.138e11) == "4.138E11"
+    assert j(413800000000.0) == "4.138E11"
+    assert j(0.0005) == "5.0E-4"
+    assert j(-0.0009) == "-9.0E-4"
+    assert j(1e7) == "1.0E7"
+    assert j(1e16) == "1.0E16"
+    assert j(9999999.5) == "9999999.5"  # decimal range unchanged
+    assert j(0.001) == "0.001"
+    assert j(4.138e-05) == "4.138E-5"
+    assert j(1e23) == "1.0E23"
