@@ -185,6 +185,16 @@ def bench_task13(spark, aux: dict) -> bool:
         t = g if t is None else t.unionByName(g)
     t = t.distinct().cache()
     aux["task13_triples"] = t.count()
+    # size shuffle width to the DATA, not the core count: this input is
+    # ~20k triples through a ~60-stage DAG, where 32-wide shuffles cost
+    # pure scheduling overhead (measured same-host: 122 s at 32 vs 91 s
+    # at 8; 4 is no better than 8). The spark_optimization_guide rule —
+    # partitions sized for the dataset, AQE coalesces the tail — applied
+    # in the direction people forget: DOWN for small inputs. At sf>=1
+    # inputs the session default (= core count) is correct and kept.
+    shuf_before = spark.conf.get("spark.sql.shuffle.partitions")
+    if aux["task13_triples"] < 1_000_000:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
     t0 = time.time()
     params = MiningParams(
         min_head_size=100, min_support=1, min_head_coverage=0.01,
@@ -202,6 +212,7 @@ def bench_task13(spark, aux: dict) -> bool:
         .count()
     )
     aux["task13_mine_conf_sec"] = round(time.time() - t0, 1)
+    spark.conf.set("spark.sql.shuffle.partitions", shuf_before)
     t.unpersist()
     return True
 
