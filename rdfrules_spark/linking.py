@@ -87,7 +87,7 @@ def link_statements(
     statements: DataFrame,
     candidates: DataFrame,
     materialize_map: bool = True,
-    broadcast_rows: int = 4_000_000,
+    broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """-> linked(doc_id, stmt_no, s, p, o) with s/o as entity IRIs.
 
@@ -112,6 +112,12 @@ def link_statements(
     * map too big (entity dictionaries at the 100 TB posture are billions
       of rows): distributed shuffle-hash joins, both sides partitioned —
       per-byte cost, no driver memory exposure.
+
+    The 1M-row default marks the measured crossover: at 2.2M map rows
+    (3.84M-doc corpus) the driver-side collect+broadcast build is a
+    GROWING serial cost and shuffle-hash wins 27.4 s vs 37.6 s at
+    local[32]; at 432k rows broadcast wins 8.6 s vs 15.2 s and is what
+    makes the link stage scale N->4N.
     """
     link = build_link_map(statements, candidates)
     if materialize_map:
