@@ -195,25 +195,27 @@ def bench_task13(spark, aux: dict) -> bool:
     shuf_before = spark.conf.get("spark.sql.shuffle.partitions")
     if aux["task13_triples"] < 1_000_000:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-    t0 = time.time()
-    params = MiningParams(
-        min_head_size=100, min_support=1, min_head_coverage=0.01,
-        max_rule_length=3, injective=True,
-    )
-    rules = mine_constants(
-        t, params, constants="object", quasi_binding=True
-    ).localCheckpoint()
-    conf = confidences_constants(rules, t, injective=True)
-    aux["task13_rules"] = (
-        conf
-        .where(F.col("support") / F.col("body_size") >= 0.1)
-        .where((F.col("pca_body_size") > 0)
-               & (F.col("support") / F.col("pca_body_size") >= 0.1))
-        .count()
-    )
-    aux["task13_mine_conf_sec"] = round(time.time() - t0, 1)
-    spark.conf.set("spark.sql.shuffle.partitions", shuf_before)
-    t.unpersist()
+    try:
+        t0 = time.time()
+        params = MiningParams(
+            min_head_size=100, min_support=1, min_head_coverage=0.01,
+            max_rule_length=3, injective=True,
+        )
+        rules = mine_constants(
+            t, params, constants="object", quasi_binding=True
+        ).localCheckpoint()
+        conf = confidences_constants(rules, t, injective=True)
+        aux["task13_rules"] = (
+            conf
+            .where(F.col("support") / F.col("body_size") >= 0.1)
+            .where((F.col("pca_body_size") > 0)
+                   & (F.col("support") / F.col("pca_body_size") >= 0.1))
+            .count()
+        )
+        aux["task13_mine_conf_sec"] = round(time.time() - t0, 1)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuf_before)
+        t.unpersist()
     return True
 
 
