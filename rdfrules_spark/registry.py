@@ -3049,3 +3049,35 @@ def q_jsonld_triples(spark, sf_dir):
     with open(os.path.join(d, "regions.jsonld"), "w") as f:
         _j.dump(doc, f)
     return read_jsonld(spark, os.path.join(d, "regions.jsonld"))
+
+
+@register(
+    "stream_ice_relation_counts",
+    f"""
+    with {_KG_W_SQL}
+    select p, count(*) as cnt from w where p <> 'dup' group by p
+    """,
+)
+def q_stream_ice_relation_counts(spark, sf_dir):
+    """Streaming ingest THROUGH the IceTable sink (streaming/ingest.py
+    run_incremental_pipeline_ice): one append snapshot per micro-batch,
+    idempotency-keyed (exactly-once); the relations read back through the
+    manifest-planned scan must equal the batch per-predicate counts."""
+    import tempfile
+
+    from rdfrules_spark.sources.icetable import IceTable
+    from rdfrules_spark.streaming import (
+        run_incremental_pipeline_ice,
+        stream_plain_documents,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="rdfrules_stream_ice_")
+    q = run_incremental_pipeline_ice(
+        spark,
+        stream_plain_documents(spark, f"{sf_dir}/documents.parquet"),
+        workdir,
+        window3=True,
+    )
+    q.awaitTermination(600)
+    rel = IceTable.load(spark, f"{workdir}/relations_ice").scan()
+    return rel.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
