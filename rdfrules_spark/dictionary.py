@@ -52,12 +52,19 @@ def build_dictionary(triples_str: DataFrame) -> DataFrame:
         .unionAll(triples_str.select(F.col("o").alias("item")))
         .distinct()
     )
-    d = terms.select(
+    return dictionary_from_terms(terms)
+
+
+def dictionary_from_terms(terms: DataFrame) -> DataFrame:
+    """dict(id, item, kind) from an (already distinct) ``item`` column —
+    the id/kind half of :func:`build_dictionary`, exposed for callers that
+    can enumerate the term set from a dimension table instead of scanning
+    the full triple stream (pipeline.run_pipeline's link-map fast path)."""
+    return terms.select(
         _stable_id(F.col("item")).alias("id"),
         "item",
         term_kind(F.col("item")).alias("kind"),
     )
-    return d
 
 
 def assert_no_collisions(dictionary: DataFrame) -> int:

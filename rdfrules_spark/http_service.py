@@ -97,8 +97,11 @@ class _Task:
             # can kill it; the terminal task bounds the row count
             df = df.localCheckpoint(eager=True)
             with self.lock:
-                self.result_df = df
-                self.state = "done"
+                # a DELETE may have flipped state to "interrupted" while
+                # the Spark jobs raced to completion — keep that verdict
+                if self.state == "running":
+                    self.result_df = df
+                    self.state = "done"
                 self.finished = _now_iso()
             self.log("result materialized")
         except Exception as e:  # noqa: BLE001 — reported to the client

@@ -83,6 +83,48 @@ def build_link_map(statements: DataFrame, candidates: DataFrame) -> DataFrame:
     )
 
 
+def apply_link_map(
+    statements: DataFrame,
+    link: DataFrame,
+    map_rows: int | None = None,
+    broadcast_rows: int = 1_000_000,
+) -> DataFrame:
+    """Map the mention stream through an already-materialized link map —
+    the join half of :func:`link_statements`, exposed so callers that need
+    the map itself (pipeline.run_pipeline's dictionary fast path) build it
+    once and share it. Strategy selection is documented on
+    :func:`link_statements`; ``map_rows`` is the materialized count (pass
+    it when known to avoid a recount)."""
+    if broadcast_rows:
+        if map_rows is None:
+            map_rows = link.count()
+        if map_rows <= broadcast_rows:
+            bl_s = F.broadcast(link)
+            linked = (
+                statements.join(bl_s, statements["s_surf"] == bl_s["surface"])
+                .drop("surface")
+                .withColumnRenamed("iri", "s")
+            )
+            bl_o = F.broadcast(link)
+            return (
+                linked.join(bl_o, linked["o_surf"] == bl_o["surface"])
+                .drop("surface")
+                .withColumnRenamed("iri", "o")
+                .select("doc_id", "stmt_no", "s", "p", "o")
+            )
+    s_link = link.withColumnRenamed("surface", "s_surf").withColumnRenamed(
+        "iri", "s"
+    )
+    o_link = link.withColumnRenamed("surface", "o_surf").withColumnRenamed(
+        "iri", "o"
+    )
+    return (
+        statements.join(s_link.hint("shuffle_hash"), "s_surf")
+        .join(o_link.hint("shuffle_hash"), "o_surf")
+        .select("doc_id", "stmt_no", "s", "p", "o")
+    )
+
+
 def link_statements(
     statements: DataFrame,
     candidates: DataFrame,
@@ -122,27 +164,8 @@ def link_statements(
     link = build_link_map(statements, candidates)
     if materialize_map:
         link = link.localCheckpoint(eager=True)
-        if broadcast_rows and link.count() <= broadcast_rows:
-            bl_s = F.broadcast(link)
-            linked = (
-                statements.join(bl_s, statements["s_surf"] == bl_s["surface"])
-                .drop("surface")
-                .withColumnRenamed("iri", "s")
-            )
-            bl_o = F.broadcast(link)
-            return (
-                linked.join(bl_o, linked["o_surf"] == bl_o["surface"])
-                .drop("surface")
-                .withColumnRenamed("iri", "o")
-                .select("doc_id", "stmt_no", "s", "p", "o")
-            )
-    s_link = link.withColumnRenamed("surface", "s_surf").withColumnRenamed("iri", "s")
-    o_link = link.withColumnRenamed("surface", "o_surf").withColumnRenamed("iri", "o")
-    return (
-        statements.join(s_link.hint("shuffle_hash"), "s_surf")
-        .join(o_link.hint("shuffle_hash"), "o_surf")
-        .select("doc_id", "stmt_no", "s", "p", "o")
-    )
+        return apply_link_map(statements, link, broadcast_rows=broadcast_rows)
+    return apply_link_map(statements, link, broadcast_rows=0)
 
 
 def split_sameas(linked: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -240,8 +240,12 @@ def _lt_ratios(triples: DataFrame, params: MiningParams) -> DataFrame:
     materialized once: every shape stage of one mine() run joins the
     same |P|-row table instead of re-aggregating the full triple set
     per _scale_support call site (~2 full scans each, 6 sites)."""
+    # _lt_sample_cond depends on params only through _lt_cap, which in
+    # dme mode also folds in min_head_coverage — key on the computed cap
+    # so two mine() runs over the same triples object with different
+    # min_head_coverage never share a stale ratio table.
     key = (params.local_timeout_me, params.local_timeout_dme,
-           params.injective)
+           params.injective, _lt_cap(params))
     cache = getattr(triples, "_lt_ratio_cache", None)
     if cache is None:
         cache = {}

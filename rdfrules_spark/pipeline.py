@@ -26,9 +26,11 @@ class PipelineResult:
     triples: DataFrame            # encoded (s, p, o, g, pred_bucket)
     dict_df: DataFrame
     pred_stats: DataFrame
-    # checkpointed linked statements (doc_id, stmt_no, s, p, o): counting
-    # this is free; counting `statements` replays generation + the
-    # extraction UDF (it is the only pre-checkpoint handle)
+    # linked statements (doc_id, stmt_no, s, p, o): a LAZY broadcast-probe
+    # plan over the statements checkpoint — an action re-runs one cheap
+    # map-side pass (never the extraction UDF; that sits behind the
+    # checkpoint). `statements` is the only pre-checkpoint handle — an
+    # action on it replays generation + extraction.
     linked: DataFrame | None = None
 
 
@@ -47,39 +49,67 @@ def run_pipeline(
     # them three times (s-surface scan + o-surface scan inside the link
     # map's distinct, then the join probe), and a lazy plan re-executes the
     # per-doc generation + extraction UDF — the single most expensive
-    # compute — once per consumer (measured 3x at 960k docs)
+    # compute — once per consumer (measured 3x at 960k docs). This is the
+    # pipeline's ONLY full-width barrier: everything downstream is either
+    # a small materialization (link map, sameAs edges, canon map) or a
+    # lazy re-probe of this checkpoint.
     statements = extraction.extract_statements(documents).localCheckpoint(
         eager=True
     )
-    # materialize the linked statements ONCE: the CC stage consumes them
-    # three times (node seed, symmetric edge set, final rewrite join) and a
-    # lazy plan would replay the extraction pandas UDF + link join per
-    # consumer — a serial re-execution that caps scaling efficiency (the
-    # N-vs-4N criterion) well below 0.8. One barrier here buys
-    # single-execution lineage for every downstream stage; the durable
-    # variant (checkpointing.run_pipeline_checkpointed) persists the same
-    # cut to parquet with a manifest.
-    # The checkpoint freezes the link join's output partitioning for every
-    # downstream first stage. With statements checkpointed wide (above),
-    # a broadcast link join preserves that width and no shuffle is needed;
-    # but if the plan came back narrow (AQE coalescing, a shuffle-join link
-    # at huge map sizes), re-cut at session parallelism — measured 8
-    # frozen partitions / 1.56M rows at local[32] before this guard, which
-    # flattened the N-vs-4N speedup to ~1x.
-    linked = linking.link_statements(statements, candidates).localCheckpoint(
+    # The link map (distinct surfaces -> best candidate IRI) is small
+    # relative to the stream (432k rows for 6.2M statements at 960k docs)
+    # and feeds THREE consumers: the s-side join, the o-side join, and the
+    # dictionary fast path below — one eager cut, reused everywhere.
+    link = linking.build_link_map(statements, candidates).localCheckpoint(
         eager=True
     )
-    parallelism = spark.sparkContext.defaultParallelism
-    if linked.rdd.getNumPartitions() < parallelism:
-        linked = linked.repartition(parallelism, "doc_id").localCheckpoint(
-            eager=True
-        )
+    n_map = link.count()
+    # The linked stream itself stays LAZY. Round 3 materialized it
+    # (localCheckpoint) so downstream stages would not replay the link
+    # join — but profiling the N-vs-4N topology showed that 25M-row
+    # full-width write through the block manager is the pipeline's worst-
+    # scaling component (~1.3x from 8 to 32 cores: on one box every
+    # executor shares a single memory bus, and at a real 4N cluster the
+    # barrier write is pure non-scaling cost). With `statements` already
+    # checkpointed, re-deriving `linked` is one map-side pass — scan the
+    # checkpoint + probe two broadcast hash tables, zero shuffle — which
+    # is perfectly parallel work. The ~3 downstream consumers (sameAs edge
+    # scan, triple tail, statement count) re-run that cheap probe instead
+    # of paying a serial barrier: wall time at N cores is level, scaling
+    # N->4N is what improves (measured in BENCH.md round 4).
+    linked = linking.apply_link_map(statements, link, n_map)
     rels, sameas = linking.split_sameas(linked)
     canon_rels, canon_map = canonicalize_triples(rels, sameas)
     canon_rels = canon_rels.select("doc_id", "s", "p", "o")
 
     triples_str = canon_rels.select("s", "p", "o")
-    dict_df = dictionary.build_dictionary(triples_str)
+    # Dictionary fast path: every s/o term of canon_rels is by construction
+    # canon(link.iri) — the link map assigns every distinct surface an IRI
+    # and canonicalization rewrites through the canon map — so the term
+    # dictionary is derivable from the SMALL side (|link map| + |predicate
+    # vocabulary|) instead of a distinct-shuffle over the full triple
+    # stream (3 columns x 25M rows). At the 100 TB posture this turns the
+    # dictionary build from a second full-data shuffle into a dimension-
+    # table pass. Superset note: an IRI whose surfaces occur ONLY in aka
+    # statements contributes a dictionary row without a triple — same
+    # items the reference's TripleItemHashIndex interns (it dictionaries
+    # sameAs statement terms before collapsing them,
+    # core:index/TripleItemHashIndex.scala:68-82).
+    dict_df = dictionary.dictionary_from_terms(
+        link.select(F.col("iri").alias("node"))
+        .distinct()
+        .join(canon_map, "node", "left")
+        .select(F.coalesce("canon", "node").alias("item"))
+        .unionAll(
+            # the sameAs cue predicate never becomes a triple (split_sameas
+            # drops it, as the reference drops owl:sameAs statements) — keep
+            # it out of the dictionary like the stream scan would
+            statements.where(F.col("p") != linking.AKA)
+            .select(F.col("p").alias("item"))
+            .distinct()
+        )
+        .distinct()
+    )
     # dedup AFTER hash-encoding: ids are deterministic content hashes, so
     # encode-then-distinct == distinct-then-encode, and the distinct
     # shuffles fixed-width longs (~36 B/row) instead of IRI strings

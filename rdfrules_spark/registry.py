@@ -3081,3 +3081,105 @@ def q_stream_ice_relation_counts(spark, sf_dir):
     q.awaitTermination(600)
     rel = IceTable.load(spark, f"{workdir}/relations_ice").scan()
     return rel.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# RDF writers (round 4): Turtle / RDF/XML / JSON-LD export -> own reader
+# (reference exports any Jena format, core:data/Graph.scala:52-60 /
+# core:data/RdfWriter.scala; read side spec-verified in tests)
+# ---------------------------------------------------------------------------
+
+_WRITER_ORACLE = """
+    select concat('http://kg/nation/', replace(n_name, ' ', '_')) as s,
+           'http://kg/ont/inRegion' as p,
+           concat('http://kg/region/', replace(r_name, ' ', '_')) as o,
+           'uri' as okind
+    from nation join region on n_regionkey = r_regionkey
+    union all
+    select concat('http://kg/nation/', replace(n_name, ' ', '_')),
+           'http://kg/ont/key', cast(n_nationkey as varchar), 'number'
+    from nation
+    union all
+    select concat('http://kg/nation/', replace(n_name, ' ', '_')),
+           'http://kg/ont/comment',
+           concat('note "', n_name, '" &', chr(10), 'end'), 'text'
+    from nation
+"""
+
+
+def _writer_fixture(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    s = F.concat(F.lit("http://kg/nation/"),
+                 F.regexp_replace("n_name", " ", "_"))
+    rel = nation.join(
+        region, nation.n_regionkey == region.r_regionkey
+    ).select(
+        s.alias("s"),
+        F.lit("http://kg/ont/inRegion").alias("p"),
+        F.concat(F.lit("http://kg/region/"),
+                 F.regexp_replace("r_name", " ", "_")).alias("o"),
+        F.lit("uri").alias("okind"),
+    )
+    keys = nation.select(
+        s.alias("s"), F.lit("http://kg/ont/key").alias("p"),
+        F.col("n_nationkey").cast("string").alias("o"),
+        F.lit("number").alias("okind"),
+    )
+    comments = nation.select(
+        s.alias("s"), F.lit("http://kg/ont/comment").alias("p"),
+        F.concat(F.lit('note "'), F.col("n_name"), F.lit('" &\nend'))
+        .alias("o"),
+        F.lit("text").alias("okind"),
+    )
+    return rel.unionByName(keys).unionByName(comments)
+
+
+@register("ttl_roundtrip", _WRITER_ORACLE)
+def q_ttl_roundtrip(spark, sf_dir):
+    """Turtle writer (prefix compaction, subject grouping, numeric short
+    forms) -> full-grammar Turtle 1.1 reader round-trip vs relational
+    truth (reference Graph.export to Lang.TTL, Graph.scala:52-60)."""
+    import tempfile
+
+    from rdfrules_spark.sources.rdf import read_ttl
+    from rdfrules_spark.sources.rdf_writers import write_ttl
+
+    path = tempfile.mkdtemp(prefix="rdfrules_ttlw_") + "/data.ttl"
+    write_ttl(_writer_fixture(spark, sf_dir), path)
+    out = read_ttl(spark, path)
+    return out.select("s", "p", "o", "okind")
+
+
+@register("rdfxml_write_roundtrip", _WRITER_ORACLE)
+def q_rdfxml_write_roundtrip(spark, sf_dir):
+    """RDF/XML writer (QName property elements over auto-declared
+    namespaces, per-part complete <rdf:RDF> documents) -> full-grammar
+    reader round-trip vs relational truth (Graph.export to Lang.RDFXML)."""
+    import tempfile
+
+    from rdfrules_spark.dictionary import term_kind
+    from rdfrules_spark.sources.formats import read_rdfxml
+    from rdfrules_spark.sources.rdf_writers import write_rdfxml
+
+    path = tempfile.mkdtemp(prefix="rdfrules_xmlw_") + "/data.xml"
+    write_rdfxml(_writer_fixture(spark, sf_dir), path)
+    out = read_rdfxml(spark, path)
+    return out.select("s", "p", "o", term_kind(F.col("o")).alias("okind"))
+
+
+@register("jsonld_write_roundtrip", _WRITER_ORACLE)
+def q_jsonld_write_roundtrip(spark, sf_dir):
+    """JSON-LD writer (node objects per subject, native JSON scalars for
+    number/boolean, per-part complete array documents) -> full-context
+    reader round-trip vs relational truth (Graph.export to Lang.JSONLD)."""
+    import tempfile
+
+    from rdfrules_spark.dictionary import term_kind
+    from rdfrules_spark.sources.formats import read_jsonld
+    from rdfrules_spark.sources.rdf_writers import write_jsonld
+
+    path = tempfile.mkdtemp(prefix="rdfrules_jldw_") + "/data.jsonld"
+    write_jsonld(_writer_fixture(spark, sf_dir), path)
+    out = read_jsonld(spark, path)
+    return out.select("s", "p", "o", term_kind(F.col("o")).alias("okind"))

@@ -197,6 +197,17 @@ class _JsonLdCtx:
                 return v
         return None
 
+    def has_kw(self, node: dict, kw: str) -> bool:
+        """True iff the keyword KEY is present (alias-aware) — distinct
+        from get_kw returning None, which also covers an explicit JSON
+        null value (``{"@value": null}``)."""
+        if kw in node:
+            return True
+        return any(
+            not k.startswith("@") and self.aliases.get(k) == kw
+            for k in node
+        )
+
     def expand_iri(self, term: str, vocab: bool = False,
                    doc_relative: bool = False) -> str:
         from urllib.parse import urljoin
@@ -261,15 +272,19 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
                 return v if isinstance(v, list) else [v]
 
             def emit_list(items, ctx, tdef):
-                """@list -> first/rest chain; returns the head."""
-                head = _RDF_NIL
-                cells = []
+                """@list -> first/rest chain; returns the head. Null
+                entries (expansion drops them) are skipped."""
+                resolved = []
                 for item in items:
-                    cells.append(new_bnode())
+                    oid, sub = obj_of(item, ctx, tdef)
+                    if oid is not None:
+                        resolved.append((oid, sub))
+                cells = [new_bnode() for _ in resolved]
                 prev = _RDF_NIL
                 out = []
-                for cell, item in zip(reversed(cells), reversed(items)):
-                    oid, sub = obj_of(item, ctx, tdef)
+                for cell, (oid, sub) in zip(
+                    reversed(cells), reversed(resolved)
+                ):
                     out.append((cell, _RDF_FIRST, oid))
                     out.append((cell, _RDF_REST, prev))
                     out.extend(sub)
@@ -278,10 +293,14 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
                 return head, out
 
             def obj_of(v, ctx, tdef):
-                """One value -> (object term, extra triples)."""
+                """One value -> (object term, extra triples); (None, [])
+                when JSON-LD expansion drops the statement (explicit
+                ``"@value": null``)."""
                 if isinstance(v, dict):
-                    val = ctx.get_kw(v, "@value")
-                    if val is not None:
+                    if ctx.has_kw(v, "@value"):
+                        val = ctx.get_kw(v, "@value")
+                        if val is None:
+                            return None, []
                         return _jsonld_literal(val), []
                     lst = ctx.get_kw(v, "@list")
                     if lst is not None:
@@ -328,7 +347,8 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
                             pred = ctx.expand_iri(rkey, vocab=True)
                             for v in as_list(rvals):
                                 oid, sub = obj_of(v, ctx, None)
-                                yield (oid, pred, sid)
+                                if oid is not None:
+                                    yield (oid, pred, sid)
                                 yield from sub
                         continue
                     if k.startswith("@") and k in _JSONLD_KEYWORDS:
@@ -338,7 +358,8 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
                     if tdef and tdef.get("reverse"):
                         for v in as_list(vals):
                             oid, sub = obj_of(v, ctx, None)
-                            yield (oid, pred, sid)
+                            if oid is not None:
+                                yield (oid, pred, sid)
                             yield from sub
                         continue
                     if tdef and tdef.get("container") == "@list" and \
@@ -349,7 +370,8 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
                         continue
                     for v in as_list(vals):
                         oid, sub = obj_of(v, ctx, tdef)
-                        yield (sid, pred, oid)
+                        if oid is not None:
+                            yield (sid, pred, oid)
                         yield from sub
 
             ctx0 = _JsonLdCtx()

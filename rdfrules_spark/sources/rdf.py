@@ -239,9 +239,12 @@ def write_nq(df: DataFrame, path: str) -> None:
 
 def write_rdf(df: DataFrame, path: str) -> None:
     """Writer extension dispatch (the export side of read_rdf): nt, nq,
-    tsv, parquet (native cache). A path ending .nq keeps graphs; the other
-    text forms drop them like the reference's Graph export."""
+    ttl (prefix compaction), xml/rdf/owl (RDF/XML), json(ld), tsv, parquet
+    (native cache). A path ending .nq keeps graphs; the other text forms
+    drop them like the reference's Graph export (Graph.scala:52-60)."""
     from rdfrules_spark.sources.tsv import write_tsv
+
+    from rdfrules_spark.sources import rdf_writers
 
     base = re.sub(r"\.(gz|bz2)$", "", path.lower())
     ext = base.rsplit(".", 1)[-1]
@@ -249,6 +252,12 @@ def write_rdf(df: DataFrame, path: str) -> None:
         write_nq(df, path)
     elif ext == "nt":
         write_nt(df.select("s", "p", "o"), path)
+    elif ext == "ttl":
+        rdf_writers.write_ttl(df, path)
+    elif ext in ("xml", "rdf", "owl"):
+        rdf_writers.write_rdfxml(df, path)
+    elif ext in ("json", "jsonld"):
+        rdf_writers.write_jsonld(df, path)
     elif ext == "tsv":
         t = df if "okind" in df.columns else df.withColumn(
             "okind", term_kind(F.col("o"))

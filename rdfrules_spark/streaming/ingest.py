@@ -306,7 +306,26 @@ def run_incremental_pipeline_ice(
         relations, edges = _batch_transform(
             batch_docs, window3, candidates, aka_pred
         )
-        key = f"batch-{batch_id}"
+        # The exactly-once key must identify batch CONTENT, not just the
+        # batch number: after a wiped checkpoint, Spark re-numbers batches
+        # from 0 and a replayed "batch-N" may cover a different file set
+        # (the source dir can have gained files since the original run).
+        # Folding the batch's input-file list (driver-side metadata, no
+        # extra job) into the key makes byte-identical replays dedupe
+        # while differently-composed batches commit. Sources with no file
+        # lineage (memory/rate) fall back to the batch id alone — for
+        # those the guarantee requires an unchanged source, as before.
+        import hashlib
+
+        try:
+            files = sorted(batch_docs.inputFiles())
+        except Exception:  # noqa: BLE001 — non-file sources
+            files = []
+        if files:
+            digest = hashlib.md5("\n".join(files).encode()).hexdigest()[:12]
+            key = f"batch-{batch_id}-{digest}"
+        else:
+            key = f"batch-{batch_id}"
         table_for("relations_ice", relations).append(
             relations, idempotency_key=key
         )

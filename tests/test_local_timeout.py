@@ -92,3 +92,23 @@ def test_local_timeout_margin_bounds(yago):
             ).count()
             == 0
         )
+
+
+def test_lt_ratio_cache_keyed_on_min_head_coverage(yago):
+    """dme mode folds min_head_coverage into the sample cap, so two
+    mine() runs over the SAME cached triples object with different
+    min_head_coverage must not share a ratio table (ADVICE r03)."""
+    from rdfrules_spark.mining.amie import _lt_ratios
+
+    p1 = MiningParams(min_head_size=100, min_support=1,
+                      min_head_coverage=0.01,
+                      local_timeout_me=0.05, local_timeout_dme=True)
+    p2 = MiningParams(min_head_size=100, min_support=1,
+                      min_head_coverage=0.05,
+                      local_timeout_me=0.05, local_timeout_dme=True)
+    assert _lt_cap(p1) != _lt_cap(p2)
+    r1 = _lt_ratios(yago, p1)
+    r2 = _lt_ratios(yago, p2)
+    assert r1 is not r2, "stale ratio table reused across hc settings"
+    # same params -> memo hit
+    assert _lt_ratios(yago, p1) is r1

@@ -222,3 +222,17 @@ def test_cc_driver_vs_distributed_parity(spark):
     assert fast == slow
     assert ("z9", "z0") in fast and ("hub", "a0") in fast
     assert ("q", "q") in fast
+
+
+def test_dictionary_fast_path_covers_stream_terms(spark, pipe):
+    """run_pipeline derives the dictionary from the link map (dimension
+    side) rather than scanning the triple stream; it must contain every
+    stream term with identical id/kind, and any extras are canonical IRIs
+    of aka-only surfaces (which the reference interns too)."""
+    from rdfrules_spark.dictionary import build_dictionary
+
+    full = build_dictionary(pipe.relations.select("s", "p", "o"))
+    assert full.exceptAll(pipe.dict_df).count() == 0
+    extra = pipe.dict_df.exceptAll(full).collect()
+    assert all(r["kind"] == "uri" and r["item"].startswith("ent:")
+               for r in extra)

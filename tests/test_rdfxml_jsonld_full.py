@@ -317,3 +317,21 @@ def test_rdfxml_collection_reification_reifies_membership(spark, tmp_path):
     assert subj == "http://s" and pred == f"{EX}members"
     # the reified object is the list head cell, whose first item is m1
     assert _chase_list(trips, obj) == ["http://m1"]
+
+
+def test_jsonld_explicit_null_value_dropped(spark, tmp_path):
+    """``{"@value": null}`` is dropped by JSON-LD expansion — it must not
+    leak a dangling blank-node triple (ADVICE r03, formats.py obj_of)."""
+    doc = """[
+      {"@id": "http://a",
+       "http://p": [{"@value": null}, {"@value": "kept"}],
+       "http://q": {"@value": null},
+       "http://r": {"@list": [{"@value": null}, {"@value": "x"}]}}
+    ]"""
+    trips = _triples(spark, tmp_path, "nullval.jsonld", doc, read_jsonld)
+    assert {o for s, p, o in trips if p == "http://p"} == {"kept"}
+    assert not [t for t in trips if t[1] == "http://q"]
+    # the @list chain contains only the non-null entry
+    heads = [o for s, p, o in trips if p == "http://r"]
+    assert len(heads) == 1
+    assert _chase_list(trips, heads[0]) == ["x"]

@@ -54,13 +54,15 @@ def main() -> None:
         eager=True
     )
     t0 = tick("extract_ckpt", t0)
-    linked = linking.link_statements(statements, candidates).localCheckpoint(
+    # round-4 pipeline shape: only the link MAP is materialized; the
+    # linked stream is a lazy broadcast-probe over the statements
+    # checkpoint (see pipeline.run_pipeline)
+    link = linking.build_link_map(statements, candidates).localCheckpoint(
         eager=True
     )
-    par = spark.sparkContext.defaultParallelism
-    if linked.rdd.getNumPartitions() < par:
-        linked = linked.repartition(par, "doc_id").localCheckpoint(eager=True)
-    t0 = tick("link_ckpt", t0)
+    n_map = link.count()
+    linked = linking.apply_link_map(statements, link, n_map)
+    t0 = tick("link_map_ckpt", t0)
     rels, sameas = linking.split_sameas(linked)
     canon_rels, canon_map = canonicalize_triples(rels, sameas)
     t0 = tick("cc_canon_plan", t0)
