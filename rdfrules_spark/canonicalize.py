@@ -53,6 +53,68 @@ def _driver_union_find(pairs) -> list[tuple[str, str]]:
     return [(n, comp_min[r]) for n, r in roots.items()]
 
 
+def _driver_cc_numpy(src, dst):
+    """Vectorized driver-side CC: same (node, component-min) semantics as
+    :func:`_driver_union_find` but in numpy — min-label propagation with
+    pointer jumping over integer codes. ``np.unique`` returns SORTED
+    uniques, so code order == lexicographic order and the component-min
+    code IS the component-min node string. ~10x the pure-Python
+    union-find (3.2 s -> ~0.3 s at 600k edges), which was the single
+    largest serial (non-scaling) component of the KG pipeline."""
+    import numpy as np
+    import pandas as pd
+
+    codes, nodes = pd.factorize(np.concatenate([src, dst]))
+    nodes = np.asarray(nodes, dtype=object)
+    n = len(nodes)
+    e_src = codes[: len(src)]
+    e_dst = codes[len(src):]
+    # symmetric closure; sort the edge list by source ONCE so every
+    # round's grouped neighbour-min is an O(E) reduceat over presorted
+    # runs (np.minimum.at is an order of magnitude slower)
+    a = np.concatenate([e_src, e_dst])
+    b = np.concatenate([e_dst, e_src])
+    order = np.argsort(a, kind="stable")
+    a_sorted = a[order]
+    b_sorted = b[order]
+    starts = np.flatnonzero(
+        np.r_[True, a_sorted[1:] != a_sorted[:-1]]
+    )
+    group_keys = a_sorted[starts]
+    lab = np.arange(n)
+    while True:
+        gmin = np.minimum.reduceat(lab[b_sorted], starts)
+        new = lab.copy()
+        np.minimum(new[group_keys], gmin, out=gmin)
+        new[group_keys] = gmin
+        # pointer jumping (label <- label(label)), a few hops per round
+        for _ in range(3):
+            new = new[new]
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    # factorize codes are hash-ordered, so the converged per-component min
+    # CODE is arbitrary — pick the representative as the lexicographic min
+    # node string per component. Rank strings once via a fixed-width
+    # numpy sort (C memcmp; same code-point order as Python str — the
+    # \0 padding of shorter strings sorts first, preserving prefix<longer),
+    # then the per-component min is an int reduceat (a pandas groupby.min
+    # on object strings measured 4 s alone at 500k nodes).
+    nodes_u = np.asarray(nodes, dtype=str)
+    str_order = np.argsort(nodes_u, kind="stable")
+    str_rank = np.empty(n, dtype=np.int64)
+    str_rank[str_order] = np.arange(n)
+    lab_order = np.argsort(lab, kind="stable")
+    lab_sorted = lab[lab_order]
+    starts2 = np.flatnonzero(
+        np.r_[True, lab_sorted[1:] != lab_sorted[:-1]]
+    )
+    min_rank = np.minimum.reduceat(str_rank[lab_order], starts2)
+    rep_idx = np.empty(n, dtype=np.int64)
+    rep_idx[lab_sorted[starts2]] = str_order[min_rank]
+    return pd.DataFrame({"node": nodes, "canon": nodes[rep_idx[lab]]})
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
@@ -79,25 +141,34 @@ def connected_components(
     # relation is scanned exactly once. (A limit(T+1).collect() probe was
     # measured SLOWER here: CollectLimit evaluates partition batches
     # serially — 1, 4, 16, ... — while this is one fully-parallel pass.)
+    # distinct() BEFORE materializing: sameAs evidence repeats heavily
+    # (every aka mention of the same alias pair is one edge — ~8x
+    # duplication under the alias grammar, worse at web scale), and CC
+    # only needs the edge SET. The dedup is a parallel map-side-combined
+    # shuffle; everything serial downstream (the driver collect + numpy
+    # CC) shrinks by the duplication factor.
     edges2 = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
     if driver_threshold > 0 and edges2.count() <= driver_threshold:
         spark = edges.sparkSession
-        out = _driver_union_find(
-            [(r[0], r[1]) for r in edges2.collect()]
-        )
-        import pandas as pd
-
-        if not out:
+        # Arrow collect (toPandas) + vectorized numpy CC: the row-object
+        # .collect() + pure-Python union-find pair cost ~4-5 s serial at
+        # 600k edges — the pipeline's largest non-scaling component.
+        pdf_in = edges2.toPandas()
+        if pdf_in.empty:
             return spark.createDataFrame([], "node string, canon string")
+        pdf = _driver_cc_numpy(
+            pdf_in["src"].to_numpy(dtype=object),
+            pdf_in["dst"].to_numpy(dtype=object),
+        )
         # Arrow-path createDataFrame + eager checkpoint: the map feeds two
         # broadcast joins downstream (s-side, o-side); a plain LocalRelation
         # would re-pickle the whole list from the driver per broadcast
         # exchange, while a checkpointed relation broadcasts from block-
         # manager blocks (and the Arrow conversion is ~10x the pickle path)
-        pdf = pd.DataFrame(out, columns=["node", "canon"])
         return spark.createDataFrame(pdf).localCheckpoint(eager=True)
     sym = (
         edges2.unionAll(

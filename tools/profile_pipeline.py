@@ -37,7 +37,11 @@ def main() -> None:
         "profile",
         master=master,
         shuffle_partitions=total,
-        extra_conf={"spark.executorEnv.PYTHONPATH": "/root/repo"},
+        extra_conf={
+            "spark.executorEnv.PYTHONPATH": "/root/repo",
+            # match bench.py: keep the small-file doc-table scan wide
+            "spark.sql.files.maxPartitionBytes": str(16 << 20),
+        },
     )
     t: dict[str, float] = {}
 
@@ -45,8 +49,18 @@ def main() -> None:
         t[name] = round(time.perf_counter() - t0, 2)
         return time.perf_counter()
 
+    # input = materialized IceTable of interleaved docs (north-rule input
+    # contract; generation is untimed scaffolding — see bench.prepare_kg_docs)
+    from bench import prepare_kg_docs
+    from rdfrules_spark.sources.icetable import IceTable
+
+    docs_path = prepare_kg_docs(spark, n_docs)
+    # untimed warm-up (same rationale as bench.run_bench)
+    extraction.extract_statements(
+        corpus.synth_documents(spark, 2000)
+    ).groupBy("p").count().count()
     t0 = time.perf_counter()
-    docs = corpus.synth_documents(spark, n_docs)
+    docs = IceTable.load(spark, docs_path).scan()
     candidates = linking.alias_candidates(
         spark, corpus.n_entities_for(n_docs)
     )
