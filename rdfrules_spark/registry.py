@@ -3183,3 +3183,19 @@ def q_jsonld_write_roundtrip(spark, sf_dir):
     write_jsonld(_writer_fixture(spark, sf_dir), path)
     out = read_jsonld(spark, path)
     return out.select("s", "p", "o", term_kind(F.col("o")).alias("okind"))
+
+
+@register("trix_roundtrip", _WRITER_ORACLE)
+def q_trix_roundtrip(spark, sf_dir):
+    """TriX writer -> spec-audited reader round-trip vs relational truth
+    (W3C TriX note; reference dispatch RdfSource.scala:52-67 via Jena
+    Lang.TRIX; corner cases in tests/test_trix_full.py)."""
+    import tempfile
+
+    from rdfrules_spark.sources.formats import read_trix
+    from rdfrules_spark.sources.rdf_writers import write_trix
+
+    path = tempfile.mkdtemp(prefix="rdfrules_trixw_") + "/data.trix"
+    write_trix(_writer_fixture(spark, sf_dir), path)
+    out = read_trix(spark, path)
+    return out.select("s", "p", "o", "okind")

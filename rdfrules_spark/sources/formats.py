@@ -77,38 +77,74 @@ def _strip_ns(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
 
 
-def _trix_term(el) -> str:
+_TRIX_TERMS = {"uri", "id", "plainLiteral", "typedLiteral"}
+
+
+def _trix_term(el, salt: str) -> str:
     kind = _strip_ns(el.tag)
+    if kind not in _TRIX_TERMS:
+        raise ValueError(f"TriX: unknown term element <{kind}>")
     text = el.text or ""
     if kind == "uri":
         return text
     if kind == "id":
-        return text if text.startswith("_:") else f"_:{text}"
+        # blank-node labels are DOCUMENT-scoped (TriX spec §2 / Jena
+        # reader): salt per file so equal labels in different files never
+        # merge (same contract as the Turtle reader)
+        label = text[2:] if text.startswith("_:") else text
+        return f"_:{label}{salt}"
     return text  # plainLiteral / typedLiteral keep the lexical form
 
 
 def read_trix(spark: SparkSession, path: str) -> DataFrame:
-    """TriX -> (s, p, o, g, okind). <graph><uri>g</uri><triple>t t t</triple>
-    ...</graph>; a graph without a uri is the default graph (g='')."""
+    """TriX -> (s, p, o, g, okind): <TriX><graph><uri>g</uri>
+    <triple>t t t</triple>...</graph>...</TriX> (W3C TriX note;
+    reference dispatch RdfSource.scala:52-67 via Jena Lang.TRIX).
+
+    Spec points covered (tests/test_trix_full.py): graph name anywhere in
+    the graph element (not just before the first triple), unnamed graph =
+    default graph (g=''), multiple graphs per document, all four term
+    kinds (uri / id / plainLiteral[@xml:lang] / typedLiteral[@datatype] —
+    lexical forms kept, tags dropped, per the repo-wide ParsedLiterals
+    convention), namespace-prefixed element names, comments ignored,
+    per-file blank-node scoping. A <triple> without exactly 3 term
+    children or an unknown term element raises (malformed document —
+    Jena errors too, silent skips would hide data loss)."""
 
     def parse(rows):
+        import hashlib
+
         for r in rows:
+            salt = "-" + hashlib.md5(r["file"].encode()).hexdigest()[:8]
             root = ElementTree.fromstring(r["value"])
+            if _strip_ns(root.tag) != "TriX":
+                raise ValueError(
+                    f"TriX: root element is <{_strip_ns(root.tag)}>,"
+                    " expected <TriX>"
+                )
             for graph in root:
                 if _strip_ns(graph.tag) != "graph":
                     continue
+                # the graph NAME may appear anywhere among the children;
+                # resolve it before emitting any of the graph's triples
                 g = ""
                 for child in graph:
-                    tag = _strip_ns(child.tag)
-                    if tag == "uri":
+                    if _strip_ns(child.tag) == "uri":
                         g = child.text or ""
-                    elif tag == "triple":
-                        terms = [_trix_term(t) for t in child]
-                        if len(terms) == 3:
-                            yield (*terms, g)
+                for child in graph:
+                    if _strip_ns(child.tag) == "triple":
+                        terms = [_trix_term(t, salt) for t in child]
+                        if len(terms) != 3:
+                            raise ValueError(
+                                f"TriX: triple with {len(terms)} terms"
+                            )
+                        yield (*terms, g)
 
+    files = _whole_files(spark, path).select(
+        "value", F.input_file_name().alias("file")
+    )
     out = spark.createDataFrame(
-        _whole_files(spark, path).rdd.mapPartitions(parse), _QUAD_SCHEMA
+        files.rdd.mapPartitions(parse), _QUAD_SCHEMA
     )
     return out.withColumn("okind", term_kind(F.col("o")))
 

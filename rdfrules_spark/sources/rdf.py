@@ -258,6 +258,8 @@ def write_rdf(df: DataFrame, path: str) -> None:
         rdf_writers.write_rdfxml(df, path)
     elif ext in ("json", "jsonld"):
         rdf_writers.write_jsonld(df, path)
+    elif ext == "trix":
+        rdf_writers.write_trix(df, path)
     elif ext == "tsv":
         t = df if "okind" in df.columns else df.withColumn(
             "okind", term_kind(F.col("o"))

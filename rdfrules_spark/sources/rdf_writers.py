@@ -329,3 +329,56 @@ def write_jsonld(df: DataFrame, path: str) -> None:
         .alias("value")
     )
     _wrap_partitions(out, "[", "]").write.mode("overwrite").text(path)
+
+
+def write_trix(df: DataFrame, path: str) -> None:
+    """TriX export (W3C TriX note; reference Graph.export to Lang.TRIX):
+    one <graph> per part file wrapping <triple> elements with
+    uri / id / plainLiteral terms. Quads (a ``g`` column) write their
+    graph name; without one the graph is unnamed (default graph). Each
+    part file is a complete TriX document; term text is XML-escaped
+    JVM-side."""
+    has_g = "g" in df.columns
+    okind = _okind(df)
+
+    def term(c: Column, kind: Column | None = None) -> Column:
+        uri = F.concat(F.lit("<uri>"), _xml_escape(c), F.lit("</uri>"))
+        bnode = F.concat(
+            F.lit("<id>"), _xml_escape(F.substring(c, 3, 1 << 20)),
+            F.lit("</id>"),
+        )
+        if kind is None:  # subject/predicate position: uri or bnode
+            return F.when(c.startswith("_:"), bnode).otherwise(uri)
+        lit = F.concat(
+            F.lit("<plainLiteral>"), _xml_escape(c),
+            F.lit("</plainLiteral>"),
+        )
+        return (
+            F.when(kind == "uri",
+                   F.when(c.startswith("_:"), bnode).otherwise(uri))
+            .otherwise(lit)
+        )
+
+    line = F.concat(
+        F.lit("    <triple>"),
+        term(F.col("s")), term(F.col("p")), term(F.col("o"), okind),
+        F.lit("</triple>"),
+    )
+    rows = df.select(line.alias("value"))
+    gname = ""
+    if has_g:
+        gs = [r[0] for r in df.select("g").distinct().limit(2).collect()]
+        if len(gs) > 1:
+            raise ValueError(
+                "write_trix: one graph per call — split by g first"
+            )
+        if gs and gs[0]:
+            gname = f"\n    <uri>{gs[0]}</uri>"
+    header = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">\n'
+        f"  <graph>{gname}"
+    )
+    _wrap_partitions(rows, header, "  </graph>\n</TriX>").write.mode(
+        "overwrite"
+    ).text(path)
