@@ -77,7 +77,12 @@ TRIX = """\
 def test_read_trix(spark, tmp_path):
     f = tmp_path / "data.trix"
     f.write_text(TRIX)
-    rows = {(r.s, r.p, r.o, r.g) for r in read_trix(spark, str(f)).collect()}
+    # blank-node labels are file-scoped (salted) since the round-4 spec
+    # audit — normalize the salt off before comparing
+    rows = {
+        (r.s.split("-")[0] if r.s.startswith("_:") else r.s, r.p, r.o, r.g)
+        for r in read_trix(spark, str(f)).collect()
+    }
     assert rows == {
         ("http://ex.org/a", "http://ex.org/knows", "http://ex.org/b",
          "http://ex.org/g1"),
