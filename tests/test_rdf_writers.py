@@ -110,7 +110,7 @@ def test_bnodes_rdfxml_and_ttl(spark, tmp_path):
 def test_write_rdf_dispatch(spark, triples, tmp_path):
     from rdfrules_spark.sources.rdf import read_rdf, write_rdf
 
-    for name in ("d.ttl", "d.xml", "d.jsonld"):
+    for name in ("d.ttl", "d.xml", "d.jsonld", "d.trix"):
         path = str(tmp_path / name)
         write_rdf(triples, path)
         assert _set(read_rdf(spark, path)) == EXPECTED
