@@ -250,7 +250,12 @@ def bench_task13(spark, aux: dict) -> bool:
         )
         rules = mine_constants(
             t, params, constants="object", quasi_binding=True
-        ).localCheckpoint()
+        )
+        if not hasattr(rules, "_rdfrules_local_pdf"):
+            # distributed path: cut the mining DAG once before the
+            # confidence pass re-reads it (round-2 lever). The local-gate
+            # result is already a materialized LocalTableScan.
+            rules = rules.localCheckpoint()
         conf = confidences_constants(rules, t, injective=True)
         aux["task13_rules"] = (
             conf

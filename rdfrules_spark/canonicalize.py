@@ -56,9 +56,9 @@ def _driver_union_find(pairs) -> list[tuple[str, str]]:
 def _driver_cc_numpy(src, dst):
     """Vectorized driver-side CC: same (node, component-min) semantics as
     :func:`_driver_union_find` but in numpy — min-label propagation with
-    pointer jumping over integer codes. ``np.unique`` returns SORTED
-    uniques, so code order == lexicographic order and the component-min
-    code IS the component-min node string. ~10x the pure-Python
+    pointer jumping over integer codes (``pd.factorize`` codes are
+    first-occurrence order, so a final rank-by-string stage maps the
+    component-min CODE to the lexicographic-min node). ~10x the pure-Python
     union-find (3.2 s -> ~0.3 s at 600k edges), which was the single
     largest serial (non-scaling) component of the KG pipeline."""
     import numpy as np

@@ -186,12 +186,20 @@ def _finish(agg, heads, params: MiningParams, head_expr, atoms_expr, shape):
     return out
 
 
+#: output schema of mine_constants (both execution paths)
+_RULES_SCHEMA = (
+    "head string, p string, atoms array<string>, shape string, "
+    "support long, head_size long, head_coverage double"
+)
+
+
 def mine_constants(
     triples: DataFrame,
     params: MiningParams | None = None,
     constants: str = "anywhere",
     constants_for_predicates: dict | None = None,
     quasi_binding: bool = False,
+    local_threshold: int | None = None,
 ) -> DataFrame:
     """Complete closed-rule set (lengths 2..max_rule_length, constants per
     `constants` policy) INCLUDING the constant-free shapes, as canonical
@@ -254,6 +262,36 @@ def mine_constants(
         triples = triples.where(F.col("p").isin(params.only_predicates))
     if params.without_predicates is not None:
         triples = triples.where(~F.col("p").isin(params.without_predicates))
+
+    # Adaptive small-input gate (same pattern as canonicalize
+    # .connected_components): at driver-sized inputs the ~60-stage staged
+    # plan below is pure scheduling overhead — run the identical algebra
+    # vectorized on the driver instead. limit(thr+1) bounds the gate probe
+    # so a 100 TB input never pays a full count; above the gate the
+    # distributed path is byte-identical to before.
+    from rdfrules_spark.mining.local_constants import (
+        local_threshold as _gate,
+        mine_constants_local,
+    )
+
+    thr = _gate(local_threshold)
+    if thr and triples.limit(thr + 1).count() <= thr:
+        tpdf = (
+            triples.select("s", "p", "o").toPandas().drop_duplicates()
+        )
+        pdf = mine_constants_local(
+            tpdf, params, constants, constants_for_predicates, quasi_binding
+        )
+        spark = triples.sparkSession
+        cols = pdf[["head", "p", "atoms", "shape", "support", "head_size",
+                    "head_coverage"]]
+        sdf = spark.createDataFrame(cols, schema=_RULES_SCHEMA)
+        # stash the pandas ruleset on the DataFrame wrapper so a follow-up
+        # confidences_constants under the same gate skips the Arrow
+        # round-trip (bench/pipeline callers also skip localCheckpoint
+        # when they see this attribute — the plan is a LocalTableScan)
+        sdf._rdfrules_local_pdf = cols
+        return sdf
 
     # size(injectiveMapping): non-reflexive triple count under injective
     # (TripleHashIndex.scala:61-66)

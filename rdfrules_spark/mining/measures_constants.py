@@ -140,8 +140,17 @@ def _casize(E: DataFrame, prefix: str, out: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias(out))
 
 
+#: output schema of confidences_constants (both execution paths)
+_CONF_SCHEMA = (
+    "rid string, head string, p string, atoms array<string>, shape string, "
+    "support long, head_size long, head_coverage double, body_size long, "
+    "pca_body_size long, cwa_confidence double, pca_confidence double"
+)
+
+
 def confidences_constants(
-    rules: DataFrame, triples: DataFrame, injective: bool = False
+    rules: DataFrame, triples: DataFrame, injective: bool = False,
+    local_threshold: int | None = None,
 ) -> DataFrame:
     """Attach body_size, cwa_confidence, pca_body_size, pca_confidence to
     every canonical rule row (all 9 shapes).
@@ -149,7 +158,32 @@ def confidences_constants(
     ``injective=True`` reproduces the reference Ruleset.computeConfidence
     default (injectiveMapping=true, Ruleset.scala:186): pairwise-distinct
     variable bindings — RulesetSpec's 105/12/57/810 confidence goldens need
-    it even though mining itself counts support non-injectively."""
+    it even though mining itself counts support non-injectively.
+
+    Adaptive small-input gate (local_constants module): below the gate the
+    identical per-shape algebra runs vectorized on the driver — at tiny
+    inputs the ~40-stage distributed plan below is pure scheduling
+    overhead. The gate probe is limit()-bounded; above it this distributed
+    path is unchanged."""
+    from rdfrules_spark.mining.local_constants import (
+        confidences_constants_local,
+        local_threshold as _gate,
+    )
+
+    thr = _gate(local_threshold)
+    if thr and triples.limit(thr + 1).count() <= thr:
+        tpdf = triples.select("s", "p", "o").toPandas().drop_duplicates()
+        rules_pdf = getattr(rules, "_rdfrules_local_pdf", None)
+        if rules_pdf is None:
+            rules_pdf = rules.select(
+                "head", "p", "atoms", "shape", "support", "head_size",
+                "head_coverage",
+            ).toPandas()
+        out = confidences_constants_local(rules_pdf, tpdf, injective)
+        return triples.sparkSession.createDataFrame(
+            out, schema=_CONF_SCHEMA
+        )
+
     t = triples.select("s", "p", "o")
     E = _ents(t)
     SE = _side_ents(t)

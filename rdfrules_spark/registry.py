@@ -2898,6 +2898,52 @@ def q_http_pipeline_histogram(spark, sf_dir):
 
 
 @register(
+    "http_pipeline_export_ttl",
+    """
+    select concat('nation:', replace(n_name, ' ', '_')) as s,
+           'ex:inRegion' as p,
+           concat('region:', replace(r_name, ' ', '_')) as o,
+           'uri' as okind
+    from nation join region on n_regionkey = r_regionkey
+    """,
+)
+def q_http_pipeline_export_ttl(spark, sf_dir):
+    """JSON task pipeline driving the round-4 RDF WRITERS through the
+    product entry point (data/ExportQuads.scala -> write_rdf dispatch by
+    .ttl extension -> sources/rdf_writers.write_ttl with prefix
+    compaction): LoadDataset -> ExportQuads(.ttl), then the exported
+    Turtle is read back by the full-grammar reader and checked against
+    relational truth."""
+    import tempfile
+
+    from rdfrules_spark.http_pipeline import run_pipeline_json
+    from rdfrules_spark.sources.rdf import read_rdf
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    df = nation.join(
+        region, nation.n_regionkey == region.r_regionkey
+    ).select(
+        F.concat(F.lit("nation:"),
+                 F.translate(F.col("n_name"), " ", "_")).alias("s"),
+        F.lit("ex:inRegion").alias("p"),
+        F.concat(F.lit("region:"),
+                 F.translate(F.col("r_name"), " ", "_")).alias("o"),
+        F.lit("uri").alias("okind"),
+        F.lit("").alias("g"),
+    )
+    scratch = tempfile.mkdtemp(prefix="rdfrules_http_export_")
+    df.write.mode("overwrite").parquet(f"{scratch}/in.parquet")
+    run_pipeline_json(spark, [
+        {"name": "LoadDataset", "parameters": {"path": f"{scratch}/in.parquet"}},
+        {"name": "ExportQuads", "parameters": {"path": f"{scratch}/out.ttl"}},
+    ])
+    return read_rdf(spark, f"{scratch}/out.ttl").select(
+        "s", "p", "o", "okind"
+    )
+
+
+@register(
     "refcache_roundtrip",
     """
     select n_name as s, 'ex:inRegion' as p,

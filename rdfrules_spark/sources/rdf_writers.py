@@ -81,7 +81,9 @@ def _ttl_iri(c: Column, prefixes: dict[str, str]) -> Column:
         local = F.substring(c, len(ns) + 1, 1 << 20)
         cond = c.startswith(ns) & local.rlike(_PN_LOCAL) & ~local.endswith(".")
         out = F.when(cond, F.concat(F.lit(pfx + ":"), local)).otherwise(out)
-    return out
+    # blank nodes keep the bare `_:label` Turtle form — `<_:label>` would be
+    # a relative IRI to a conforming parser, not a bnode
+    return F.when(c.startswith("_:"), c).otherwise(out)
 
 
 def _ttl_obj(o: Column, okind: Column, prefixes: dict[str, str]) -> Column:
@@ -286,11 +288,24 @@ def write_jsonld(df: DataFrame, path: str) -> None:
 
     Reference: Graph.export to Lang.JSONLD (core:data/Graph.scala:52-60)."""
     okind = _okind(df)
+    # A number is emitted as a NATIVE JSON scalar only when its lexical form
+    # survives a JSON parse round-trip exactly: canonical integers (no
+    # leading zeros, no '-0' — arbitrary length, JSON ints are exact), and
+    # trailing-zero-free decimals with <= 15 digits (distinct <=15-digit
+    # decimals map to distinct doubles, so shortest-repr gives back the
+    # same lexical form). Everything else ('007', '1.50', '-0') falls back
+    # to the quoted @value string form — still read back as a number by the
+    # term_kind convention, and valid JSON in every part file.
+    o = F.col("o")
+    json_int = o.rlike(r"^-?(0|[1-9][0-9]*)$") & (o != "-0")
+    json_dec = o.rlike(r"^-?(0|[1-9][0-9]*)\.[0-9]*[1-9]$") & (
+        F.length(F.translate(o, "-.", "")) <= 15
+    )
     vobj = (
         F.when(okind == "uri",
                F.concat(F.lit('{"@id":'), _json_quoted(F.col("o")),
                         F.lit("}")))
-        .when(okind == "number",
+        .when((okind == "number") & (json_int | json_dec),
               F.concat(F.lit('{"@value":'), F.col("o"), F.lit("}")))
         .when(okind == "boolean",
               F.concat(F.lit('{"@value":'), F.col("o"), F.lit("}")))
@@ -373,7 +388,9 @@ def write_trix(df: DataFrame, path: str) -> None:
                 "write_trix: one graph per call — split by g first"
             )
         if gs and gs[0]:
-            gname = f"\n    <uri>{gs[0]}</uri>"
+            from xml.sax.saxutils import escape
+
+            gname = f"\n    <uri>{escape(gs[0])}</uri>"
     header = (
         '<?xml version="1.0" encoding="UTF-8"?>\n'
         '<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">\n'

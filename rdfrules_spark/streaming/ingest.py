@@ -306,32 +306,54 @@ def run_incremental_pipeline_ice(
         relations, edges = _batch_transform(
             batch_docs, window3, candidates, aka_pred
         )
-        # The exactly-once key must identify batch CONTENT, not just the
+        # The exactly-once key identifies batch CONTENT, not just the
         # batch number: after a wiped checkpoint, Spark re-numbers batches
         # from 0 and a replayed "batch-N" may cover a different file set
         # (the source dir can have gained files since the original run).
         # Folding the batch's input-file list (driver-side metadata, no
-        # extra job) into the key makes byte-identical replays dedupe
-        # while differently-composed batches commit. Sources with no file
-        # lineage (memory/rate) fall back to the batch id alone — for
-        # those the guarantee requires an unchanged source, as before.
+        # extra job) into the key makes a replay dedupe when BOTH the
+        # renumbered batch id and the file set line up with the original
+        # commit — batch_id stays part of the key, so after a checkpoint
+        # wipe the guarantee is best-effort, not absolute. Sources with no
+        # file lineage (memory/rate) fall back to the batch id alone.
+        #
+        # Key-format migration: tables written before the digest suffix
+        # existed committed under the bare "batch-N" form. A stream that
+        # resumes from an existing checkpoint on upgraded code replays
+        # the same batch ids, so we also honour the legacy key — without
+        # this, an already-committed batch would re-append under its new
+        # digest-suffixed key.
         import hashlib
 
         try:
             files = sorted(batch_docs.inputFiles())
         except Exception:  # noqa: BLE001 — non-file sources
             files = []
+        legacy_key = f"batch-{batch_id}"
         if files:
             digest = hashlib.md5("\n".join(files).encode()).hexdigest()[:12]
-            key = f"batch-{batch_id}-{digest}"
+            key = f"{legacy_key}-{digest}"
         else:
-            key = f"batch-{batch_id}"
-        table_for("relations_ice", relations).append(
-            relations, idempotency_key=key
-        )
-        table_for("sameas_edges_ice", edges).append(
-            edges, idempotency_key=key
-        )
+            key = legacy_key
+
+        def committed_under_legacy(table) -> bool:
+            if key == legacy_key:
+                return False  # nothing to migrate
+            try:
+                snaps = table.metadata()["snapshots"]
+            except Exception:  # noqa: BLE001 — fresh table, no metadata yet
+                return False
+            return any(
+                s["summary"].get("idempotency-key") == legacy_key
+                for s in snaps
+            )
+
+        rel_t = table_for("relations_ice", relations)
+        if not committed_under_legacy(rel_t):
+            rel_t.append(relations, idempotency_key=key)
+        edge_t = table_for("sameas_edges_ice", edges)
+        if not committed_under_legacy(edge_t):
+            edge_t.append(edges, idempotency_key=key)
 
     writer = documents.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", os.path.join(workdir, "_stream_checkpoint")

@@ -105,6 +105,41 @@ def test_bnodes_rdfxml_and_ttl(spark, tmp_path):
     assert len(got) == 2
     assert any(s.startswith("_:") and o == "http://ex.com/a" for s, p, o in got)
     assert any(o.startswith("_:") and s == "http://ex.com/a" for s, p, o in got)
+    # Turtle: bnodes must serialize as bare `_:label`, never `<_:label>`
+    # (a relative IRI to a conforming parser)
+    pt = str(tmp_path / "b.ttl")
+    write_ttl(df, pt, prefixes={"ex": "http://ex.com/"})
+    text = "".join(open(f).read() for f in glob.glob(pt + "/part-*"))
+    assert "_:b1" in text and "<_:" not in text
+    gott = _set(read_ttl(spark, pt))
+    assert len(gott) == 2
+    assert any(s.startswith("_:") and o == "http://ex.com/a" for s, p, o in gott)
+    assert any(o.startswith("_:") and s == "http://ex.com/a" for s, p, o in gott)
+
+
+def test_jsonld_noncanonical_numbers(spark, tmp_path):
+    """Lexical forms that would be mangled (or invalid) as native JSON
+    scalars fall back to the quoted @value form; the round-trip keeps the
+    exact lexical form, and every part file stays valid JSON."""
+    rows = [
+        ("http://ex.com/a", "http://ex.com/v", "007", "number"),
+        ("http://ex.com/a", "http://ex.com/v", "1.50", "number"),
+        ("http://ex.com/a", "http://ex.com/v", "1.0", "number"),
+        ("http://ex.com/a", "http://ex.com/v", "-0", "number"),
+        ("http://ex.com/a", "http://ex.com/v", "42", "number"),
+        ("http://ex.com/a", "http://ex.com/v", "-2.5", "number"),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string, okind string")
+    path = str(tmp_path / "n.jsonld")
+    write_jsonld(df, path)
+    for f in glob.glob(path + "/part-*"):
+        json.load(open(f))  # would raise on a raw 007 scalar
+    got = _set(read_jsonld(spark, path))
+    assert got == {(s, p, o) for s, p, o, _k in rows}
+    text = "".join(open(f).read() for f in glob.glob(path + "/part-*"))
+    # canonical forms stay native scalars, the rest are quoted
+    assert '{"@value":42}' in text and '{"@value":-2.5}' in text
+    assert '{"@value":"007"}' in text and '{"@value":"1.50"}' in text
 
 
 def test_write_rdf_dispatch(spark, triples, tmp_path):
