@@ -484,7 +484,8 @@ def _effective_bandwidth(n: int, secs: float = 3.0) -> float:
 
 
 def run_scaling(sf_dir: str, n_low: int = 4, n_docs: int | None = None,
-                reps: int = 3, cluster: bool = False) -> dict:
+                reps: int = 3, cluster: bool = False,
+                execmem_mb: int = 8192) -> dict:
     """Same job, two parallelism levels, one fresh subprocess per LEVEL;
     inside it the pipeline runs `reps` times and the MINIMUM wall time is
     reported — a steady-state measurement (executors registered, Python
@@ -513,10 +514,11 @@ def run_scaling(sf_dir: str, n_low: int = 4, n_docs: int | None = None,
             # transport) — the faithful sandbox analog of "N and 4N
             # executors" in the north rule
             env["SPARK_GRAFT_MASTER"] = (
-                # 8 GB per 4-core executor JVM (the same per-executor
-                # memory at both levels, as a real N->4N scale-out): 4 GB
-                # measured GC-bound at the 3.84M-doc working set
-                f"local-cluster[{cpus // 4},4,8192]"
+                # same per-executor memory at BOTH levels, as a real
+                # N->4N scale-out. 8 GB default (4 GB measured GC-bound
+                # at the 3.84M-doc working set); --execmem raises it for
+                # larger corpora (7.68M docs OOMs an 8 GB executor)
+                f"local-cluster[{cpus // 4},4,{execmem_mb}]"
             )
         else:
             env.pop("SPARK_GRAFT_MASTER", None)
@@ -527,15 +529,20 @@ def run_scaling(sf_dir: str, n_low: int = 4, n_docs: int | None = None,
             capture_output=True, text=True, env=env,
             cwd=os.path.dirname(__file__),
         )
-        line = p.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
+        out_lines = p.stdout.strip().splitlines()
+        if not out_lines:
+            raise RuntimeError(
+                f"scaling child at {cpus} cores produced no output; "
+                f"stderr tail: {p.stderr.strip().splitlines()[-15:]}"
+            )
+        results[cpus] = json.loads(out_lines[-1])
     lo, hi = results[n_low], results[n_low * 4]
     t_lo = lo["queries"]["kg_synth_pipeline"]
     t_hi = hi["queries"]["kg_synth_pipeline"]
     speedup = t_lo / t_hi
     return {
         "metric": "scaling_efficiency_n_vs_4n",
-        "topology": ("local-cluster[N/4,4,8192] multi-executor"
+        "topology": (f"local-cluster[N/4,4,{execmem_mb}] multi-executor"
                      if cluster else "local[N] threads"),
         "value": round(speedup / 4.0, 3),
         "unit": "ratio",
@@ -594,12 +601,19 @@ def main() -> None:
         reps = int(args[i + 1])
         del args[i : i + 2]
     n_low = 4
+    if "--execmem" in args:
+        i = args.index("--execmem")
+        execmem = int(args[i + 1])
+        del args[i:i + 2]
+    else:
+        execmem = 8192
     if "--nlow" in args:
         i = args.index("--nlow")
         n_low = int(args[i + 1])
         del args[i : i + 2]
     sf_dir = args[0] if args else os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR_DEFAULT)
-    out = (run_scaling(sf_dir, n_low=n_low, n_docs=n_docs, cluster=cluster)
+    out = (run_scaling(sf_dir, n_low=n_low, n_docs=n_docs,
+                           cluster=cluster, execmem_mb=execmem)
            if scaling
            else run_bench(sf_dir, only, n_docs_override=n_docs, reps=reps))
     print(json.dumps(out))

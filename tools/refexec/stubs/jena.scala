@@ -172,8 +172,66 @@ package riot {
     }
 
     object StreamRDFWriter {
-      def getWriterStream(os: java.io.OutputStream, format: org.apache.jena.riot.RDFFormat): StreamRDF =
-        throw new UnsupportedOperationException("jena stub: writing unavailable offline")
+      // N-Triples / N-Quads writing implemented from the W3C spec (the
+      // grammar is canonical and trivial) so the REFERENCE's own export
+      // path — TripleItem -> Jena Node mapping incl. XSD datatype
+      // assignment (TripleItem.scala tripleItemToJenaNode) and the
+      // RdfWriter streaming loop (JenaLang.scala) — can be executed
+      // offline and pinned against the PySpark readers. Other formats
+      // (Turtle/RDF-XML/...) are genuinely Jena serializer logic and
+      // stay unavailable.
+      def getWriterStream(os: java.io.OutputStream, format: org.apache.jena.riot.RDFFormat): StreamRDF = {
+        val lang = format.getLang
+        if (lang == Lang.NT || lang == Lang.NQ) new NtStreamWriter(os, lang == Lang.NQ)
+        else throw new UnsupportedOperationException("jena stub: only NT/NQ writing offline")
+      }
+    }
+
+    class NtStreamWriter(os: java.io.OutputStream, quads: Boolean) extends StreamRDF {
+      private val w = new java.io.OutputStreamWriter(os, java.nio.charset.StandardCharsets.UTF_8)
+
+      private def esc(s: String): String = {
+        val sb = new StringBuilder
+        s.foreach {
+          case '\\' => sb.append("\\\\")
+          case '"' => sb.append("\\\"")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case '\t' => sb.append("\\t")
+          case c => sb.append(c)
+        }
+        sb.toString
+      }
+
+      private def term(n: org.apache.jena.graph.Node): String = n match {
+        case u: org.apache.jena.graph.Node_URI => "<" + u.getURI + ">"
+        case b: org.apache.jena.graph.Node_Blank => "_:" + b.getBlankNodeId.getLabelString
+        case l: org.apache.jena.graph.Node_Literal =>
+          val lit = l.getLiteral
+          val base = "\"" + esc(lit.getLexicalForm) + "\""
+          if (lit.getDatatype == null) base
+          else base + "^^<" + lit.getDatatype.getURI + ">"
+        case x => throw new IllegalArgumentException(String.valueOf(x))
+      }
+
+      def start(): Unit = {}
+
+      def finish(): Unit = w.flush()
+
+      def base(base: String): Unit = {}
+
+      def prefix(prefix: String, iri: String): Unit = {}
+
+      def triple(triple: org.apache.jena.graph.Triple): Unit =
+        w.write(term(triple.getSubject) + " " + term(triple.getPredicate) + " " + term(triple.getObject) + " .\n")
+
+      def quad(quad: org.apache.jena.sparql.core.Quad): Unit = {
+        val g = quad.getGraph
+        val gPart =
+          if (g == null || g == org.apache.jena.sparql.core.Quad.defaultGraphIRI) ""
+          else " " + term(g)
+        w.write(term(quad.getSubject) + " " + term(quad.getPredicate) + " " + term(quad.getObject) + gPart + " .\n")
+      }
     }
   }
 }
