@@ -351,8 +351,17 @@ def run_bench(sf_dir: str, only: set[str] | None = None,
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    sf = sf_of(sf_dir)
+    n_docs = n_docs_override or n_docs_for(sf)
+    # shuffle width sized to the DATA with a core-count floor (AQE
+    # coalesces the tail): at 7.68M docs / ~25M statements a 4-core
+    # level with 4-wide shuffles puts >6M rows in one aggregation
+    # partition and exhausts executor execution memory
+    # (UNABLE_TO_ACQUIRE_MEMORY) — the optimization-guide rule applied
+    # in the direction people forget at LOW parallelism.
+    shuffle = max(int(cpus), n_docs // 60_000)
     spark = get_spark(
-        "rdfrules-bench", master=master, shuffle_partitions=int(cpus),
+        "rdfrules-bench", master=master, shuffle_partitions=shuffle,
         # The interleaved-doc table is many ~0.2 MB files (one per
         # generator task); the default 128 MB split bin-packs them into
         # ~17 scan tasks, starving the Arrow-UDF extraction stage at 32
@@ -361,8 +370,6 @@ def run_bench(sf_dir: str, only: set[str] | None = None,
         # session (a real deployment compacts the table instead).
         extra_conf={"spark.sql.files.maxPartitionBytes": str(16 << 20)},
     )
-    sf = sf_of(sf_dir)
-    n_docs = n_docs_override or n_docs_for(sf)
     aux: dict = {}
     queries: dict[str, float] = {}
 
@@ -506,6 +513,9 @@ def run_scaling(sf_dir: str, n_low: int = 4, n_docs: int | None = None,
     calib = {n: _effective_cores(n) for n in (n_low, n_low * 4)}
     bw = {n: _effective_bandwidth(n) for n in (n_low, n_low * 4)}
     results = {}
+    # fixed per-executor shape across both levels (4-core executors when
+    # n_low allows, else 2-core — n_low=2 pairs as [1,2] vs [4,2])
+    cores_per = 4 if n_low % 4 == 0 else 2
     for cpus in (n_low, n_low * 4):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
         if cluster:
@@ -513,12 +523,14 @@ def run_scaling(sf_dir: str, n_low: int = 4, n_docs: int | None = None,
             # x 4 cores (own heap, own Python workers, netty shuffle
             # transport) — the faithful sandbox analog of "N and 4N
             # executors" in the north rule
+            env["SPARK_GRAFT_EXECMEM"] = f"{int(execmem_mb * 0.75)}m"
             env["SPARK_GRAFT_MASTER"] = (
                 # same per-executor memory at BOTH levels, as a real
                 # N->4N scale-out. 8 GB default (4 GB measured GC-bound
                 # at the 3.84M-doc working set); --execmem raises it for
                 # larger corpora (7.68M docs OOMs an 8 GB executor)
-                f"local-cluster[{cpus // 4},4,{execmem_mb}]"
+                f"local-cluster[{cpus // cores_per},{cores_per},"
+                f"{execmem_mb}]"
             )
         else:
             env.pop("SPARK_GRAFT_MASTER", None)
@@ -542,7 +554,7 @@ def run_scaling(sf_dir: str, n_low: int = 4, n_docs: int | None = None,
     speedup = t_lo / t_hi
     return {
         "metric": "scaling_efficiency_n_vs_4n",
-        "topology": (f"local-cluster[N/4,4,{execmem_mb}] multi-executor"
+        "topology": (f"local-cluster[N/{cores_per},{cores_per},{execmem_mb}] multi-executor"
                      if cluster else "local[N] threads"),
         "value": round(speedup / 4.0, 3),
         "unit": "ratio",

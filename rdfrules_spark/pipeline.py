@@ -89,6 +89,12 @@ def run_pipeline(
     #     repeated shuffle joins put a 25M-row double shuffle in every
     #     downstream action).
     linked = linking.apply_link_map(statements, link, n_map)
+    # NOTE the 1M persist gate is deliberately LOWER than apply_link_map's
+    # 4M broadcast crossover: between 1M and 4M map rows the join is still
+    # a broadcast probe, but the ~3 downstream consumers re-probing two
+    # 80MB+ hash tables over the full statements cache cost more than one
+    # persist (measured round 5 at 3.84M docs / 1.63M-row map, 16 cores:
+    # re-probe regime 36.4 s vs persist regime 24.3 s min-of-3).
     if n_map > 1_000_000:
         linked = linked.persist()
         linked.count()

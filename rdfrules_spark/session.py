@@ -61,6 +61,14 @@ def get_spark(
         # (spark-submit analog: --py-files, tools/submit_job.py)
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         builder = builder.config("spark.executorEnv.PYTHONPATH", repo_root)
+        # the local-cluster[n,cores,mem] mem argument is WORKER capacity;
+        # the executor JVM heap is spark.executor.memory (default 1g) —
+        # size it explicitly or large-corpus runs die in
+        # UNABLE_TO_ACQUIRE_MEMORY regardless of worker capacity
+        builder = builder.config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXECMEM", "6g"),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
