@@ -262,3 +262,57 @@ def test_incremental_ice_sink_equals_batch_and_replays_free(spark, tmp_path):
     assert len(rel_table.snapshots()) == snaps_before  # zero new commits
     canonical2, _cm, _t, _d2 = finalize_store_ice(spark, workdir)
     assert canonical2.count() == canonical.count()
+
+
+def test_ice_sink_honours_legacy_idempotency_keys(spark, tmp_path):
+    """Key-format migration (ADVICE r04): a table whose snapshots were
+    committed under the pre-digest 'batch-N' key form must NOT re-append
+    when the same batches replay under upgraded (digest-suffixed-key)
+    code — the sink accepts the legacy key as proof of commit."""
+    import glob
+    import json
+    import re
+    import shutil
+
+    from rdfrules_spark.sources.icetable import IceTable
+    from rdfrules_spark.streaming import run_incremental_pipeline_ice
+    from rdfrules_spark.streaming.ingest import stream_documents
+
+    n_docs, n_ent = 120, corpus.n_entities_for(120)
+    docs = corpus.synth_documents(spark, n_docs, n_entities=n_ent)
+    in_dir = str(tmp_path / "in")
+    docs.coalesce(1).write.mode("append").parquet(in_dir)
+    workdir = str(tmp_path / "work")
+    q = run_incremental_pipeline_ice(
+        spark, stream_documents(spark, in_dir, max_files_per_trigger=1),
+        workdir, n_entities=n_ent,
+    )
+    q.awaitTermination(600)
+
+    # simulate a PRE-UPGRADE table: strip the digest suffix from every
+    # committed idempotency key, and wipe the checkpoint so the stream
+    # replays from batch 0 with the same file set (same renumbering)
+    for name in ("relations_ice", "sameas_edges_ice"):
+        for mf in glob.glob(
+            os.path.join(workdir, name, "metadata", "v*.metadata.json")
+        ):
+            meta = json.load(open(mf))
+            for s in meta.get("snapshots", []):
+                k = s["summary"].get("idempotency-key", "")
+                s["summary"]["idempotency-key"] = re.sub(
+                    r"^(batch-\d+)-[0-9a-f]+$", r"\1", k
+                )
+            json.dump(meta, open(mf, "w"))
+    shutil.rmtree(os.path.join(workdir, "_stream_checkpoint"))
+
+    rel = IceTable.load(spark, os.path.join(workdir, "relations_ice"))
+    rows_before = rel.scan().count()
+    snaps_before = len(rel.snapshots())
+    q2 = run_incremental_pipeline_ice(
+        spark, stream_documents(spark, in_dir, max_files_per_trigger=1),
+        workdir, n_entities=n_ent,
+    )
+    q2.awaitTermination(600)
+    rel2 = IceTable.load(spark, os.path.join(workdir, "relations_ice"))
+    assert len(rel2.snapshots()) == snaps_before  # no re-appends
+    assert rel2.scan().count() == rows_before
