@@ -1245,43 +1245,41 @@ def _varonly_sizes(R: pd.DataFrame, rel: _Rel, injective: bool):
     return pd.concat(outs, ignore_index=True)
 
 
-def _distinct_rid_v(rid: np.ndarray, v: np.ndarray, n_codes: int):
-    """Distinct (rid, v) pairs -> (rid array, v array)."""
-    key = np.unique(rid * np.int64(n_codes) + v)
-    return key // n_codes, key % n_codes
+def _binding_counts(con, src_sql: str, n_rules: int,
+                    restricted: bool) -> np.ndarray:
+    """Per-rule counts of a DISTINCT (rid, v) binding source, computed
+    INSIDE DuckDB (shipping the binding sets to Python measured 13 s of
+    the task13 confidence pass; the counts are rule-table sized).
+    ``restricted``: the PCA restriction — v must be an entity of the
+    head predicate at its higherCardinalitySide, applied only to rules
+    with hside == fvpos (the others reuse body_size)."""
+    if not restricted:
+        q = f"SELECT rid, count(*) AS c FROM ({src_sql}) GROUP BY rid"
+    else:
+        q = f"""
+            SELECT b.rid, count(*) AS c FROM ({src_sql}) b
+            JOIN meta ON meta.rid = b.rid
+            JOIN SE ON SE.p = meta.p AND SE.pos = meta.hside
+                   AND SE.x = b.v
+            WHERE meta.hside = meta.fvpos
+            GROUP BY b.rid"""
+    d = con.execute(q).fetchnumpy()
+    out = np.zeros(n_rules, dtype=np.int64)
+    out[np.asarray(d["rid"])] = np.asarray(d["c"])
+    return out
 
 
-def _inst_finish(shaped, bindings, rel, n_rules, raw=None, bscore=None):
-    """Transliterates measures_constants.inst_finish: (body_size,
-    pca_body_size) per rule from the free-var binding sets. `bindings` /
-    `raw`: (rid array, v array) DISTINCT pairs; `bscore`: per-rule array
-    aligned with shaped rows (branch decision, RuleCounting.scala:268-286).
-    """
+def _inst_finish_counts(shaped, body, pcares, rel, n_rules,
+                        pcaraw=None, bscore=None):
+    """measures_constants.inst_finish from per-rule COUNT arrays (body /
+    restricted / raw-restricted), branch laws unchanged
+    (RuleCounting.scala:268-286)."""
     rids = shaped["rid"].to_numpy()
     p = shaped["p"].to_numpy()
     hside = shaped["hside"].to_numpy()
     fvpos = shaped["fvpos"].to_numpy()
-    brid, bv = bindings
-    body = np.bincount(brid, minlength=n_rules)
-
-    meta_r = np.full(n_rules, -1, dtype=np.int64)
-    meta_r[rids] = (hside == fvpos).astype(np.int64)
-    meta_p = np.zeros(n_rules, dtype=np.int64)
-    meta_p[rids] = p
-    meta_hs = np.zeros(n_rules, dtype=np.int64)
-    meta_hs[rids] = hside
-
-    def restrict(rr, vv):
-        mask = meta_r[rr] == 1
-        rr2, vv2 = rr[mask], vv[mask]
-        keep = rel.se_member(meta_p[rr2], meta_hs[rr2], vv2)
-        return np.bincount(rr2[keep], minlength=n_rules)
-
-    pcares = restrict(brid, bv)
     is_r = hside == fvpos
-    if raw is not None:
-        rrid, rv = raw
-        pcaraw = restrict(rrid, rv)
+    if pcaraw is not None:
         nent = rel.nent(p, hside)
         use_b = is_r & (bscore >= nent)
         pca = np.where(
@@ -1295,8 +1293,6 @@ def _inst_finish(shaped, bindings, rel, n_rules, raw=None, bscore=None):
     return pd.DataFrame({
         "rid": rids,
         "body_size": np.where(has, body[rids], np.nan),
-        # pca: rules present in the binding set get a (possibly 0)
-        # coalesced value; absent rules get null (left-join semantics)
         "pca_body_size": np.where(has, pca, np.nan),
     })
 
@@ -1521,12 +1517,12 @@ def _s6_bindings(con, shaped):
         axis=1,
     )
     con.register("s6f", base)
-    j = con.execute("""
+    con.execute("""
+        CREATE OR REPLACE TEMP TABLE b6 AS
         SELECT DISTINCT f.rid, E.x AS v FROM s6f f
-        JOIN E ON f.c1q2 = E.q2 AND f.c1cst = E.cst AND f.c1e = E.e
-        """).fetchnumpy()
+        JOIN E ON f.c1q2 = E.q2 AND f.c1cst = E.cst AND f.c1e = E.e""")
     con.unregister("s6f")
-    return np.asarray(j["rid"]), np.asarray(j["v"])
+    return "SELECT rid, v FROM b6"
 
 
 def _s9_bindings(con, shaped, injective):
@@ -1544,14 +1540,15 @@ def _s9_bindings(con, shaped, injective):
         inj_sql = """AND NOT (
             f.c1q2 = f.c2q2 AND f.c1e <> f.c2e
             AND e1.x = f.c1cst AND e1.x = f.c2cst)"""
-    j = con.execute(f"""
+    con.execute(f"""
+        CREATE OR REPLACE TEMP TABLE b9 AS
         SELECT DISTINCT f.rid, e1.x AS v FROM s9f f
         JOIN E e1 ON f.c1q2 = e1.q2 AND f.c1cst = e1.cst AND f.c1e = e1.e
         JOIN E e2 ON f.c2q2 = e2.q2 AND f.c2cst = e2.cst AND f.c2e = e2.e
           AND e2.x = e1.x
-        WHERE true {inj_sql}""").fetchnumpy()
+        WHERE true {inj_sql}""")
     con.unregister("s9f")
-    return np.asarray(j["rid"]), np.asarray(j["v"])
+    return "SELECT rid, v FROM b9"
 
 
 def _s78_sizes(con, R, rel, shape, injective, fvar_arr, n_rules):
@@ -1617,29 +1614,32 @@ def _s78_sizes(con, R, rel, shape, injective, fvar_arr, n_rules):
             excl_expr = f"({vv1} OR {ca_head} OR {ca_reuse})"
     if excl_expr is not None:
         # one expansion, exclusion law as a flag column: the raw set
-        # (branch-B PCA) and the excluded binding set share the join
+        # (branch-B PCA) and the excluded binding set share the join;
+        # counts happen in DuckDB (_binding_counts), never shipping the
+        # multi-million-row binding sets to Python
         con.execute(f"""
             CREATE OR REPLACE TEMP TABLE jj78 AS
             SELECT f.rid, b1.x AS v, NOT {excl_expr} AS keep
             FROM cmp f JOIN bb b1 ON f.a1q = b1.q AND f.a1d = b1.d
             {join2}
             WHERE true {inj_vc}""")
-        raw_df = con.execute(
-            "SELECT DISTINCT rid, v FROM jj78").fetchnumpy()
-        bind_df = con.execute(
-            "SELECT DISTINCT rid, v FROM jj78 WHERE keep").fetchnumpy()
+        raw_src = "SELECT DISTINCT rid, v FROM jj78"
+        bind_src = "SELECT DISTINCT rid, v FROM jj78 WHERE keep"
     else:
-        raw_df = con.execute(f"""
+        con.execute(f"""
+            CREATE OR REPLACE TEMP TABLE jj78 AS
             SELECT DISTINCT f.rid, b1.x AS v
             FROM cmp f JOIN bb b1 ON f.a1q = b1.q AND f.a1d = b1.d
             {join2}
-            WHERE true""").fetchnumpy()
-        bind_df = raw_df
+            WHERE true""")
+        raw_src = bind_src = "SELECT rid, v FROM jj78"
     con.unregister("cmp")
-    raw = (np.asarray(raw_df["rid"]), np.asarray(raw_df["v"]))
-    bindings = (np.asarray(bind_df["rid"]), np.asarray(bind_df["v"]))
-    return _inst_finish(shaped, bindings, rel, n_rules, raw=raw,
-                        bscore=comp["_bscore"].to_numpy())
+    body = _binding_counts(con, bind_src, n_rules, restricted=False)
+    pcares = _binding_counts(con, bind_src, n_rules, restricted=True)
+    pcaraw = _binding_counts(con, raw_src, n_rules, restricted=True)
+    return _inst_finish_counts(shaped, body, pcares, rel, n_rules,
+                               pcaraw=pcaraw,
+                               bscore=comp["_bscore"].to_numpy())
 
 
 def confidences_constants_local(
@@ -1670,22 +1670,25 @@ def confidences_constants_local(
     con.register("E", rel.E)
     con.register("SE", rel.SE)
     con.register("bb", rel.b)
+    meta = R[["rid", "p", "hside", "fvpos"]]
+    con.register("meta", meta)
     parts = [
         _varonly_sizes(R, rel, injective),
         _s4_sizes(con, R, rel, injective),
         _s5_sizes(con, R, rel, injective),
     ]
+
+    def inst_counts(shaped, src):
+        body = _binding_counts(con, src, n_rules, restricted=False)
+        pcares = _binding_counts(con, src, n_rules, restricted=True)
+        return _inst_finish_counts(shaped, body, pcares, rel, n_rules)
+
     s6 = R[R["shape"] == "s6"]
     if len(s6):
-        parts.append(
-            _inst_finish(s6, _s6_bindings(con, s6), rel, n_rules)
-        )
+        parts.append(inst_counts(s6, _s6_bindings(con, s6)))
     s9 = R[R["shape"] == "s9"]
     if len(s9):
-        parts.append(
-            _inst_finish(s9, _s9_bindings(con, s9, injective), rel,
-                         n_rules)
-        )
+        parts.append(inst_counts(s9, _s9_bindings(con, s9, injective)))
     parts.append(_s78_sizes(con, R, rel, "s7", injective, fvar_arr,
                             n_rules))
     parts.append(_s78_sizes(con, R, rel, "s8", injective, fvar_arr,
