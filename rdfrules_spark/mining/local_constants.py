@@ -1,17 +1,30 @@
-"""Driver-local (numpy/pandas) fast path for constants mining + confidence.
+"""Driver-local (DuckDB + numpy) fast path for constants mining/confidence.
 
 At driver-sized inputs the staged distributed miners in
 mining/constants.py + mining/measures_constants.py pay ~60 Spark stages of
-fixed scheduling / shuffle-exchange latency on data that fits in one
-pandas frame — measured 99.7 s for the task13 pipeline (19.7k triples,
+fixed scheduling / shuffle-exchange latency on data that fits in driver
+memory — measured 99.7 s for the task13 pipeline (19.7k triples,
 951,333 rules) where the work itself is seconds of vectorized joins.
 This module is the same adaptive-gate pattern as
 canonicalize.connected_components: below ``RDFRULES_LOCAL_MINING_MAX``
-triples (default 200k, env-overridable) the public entry points
-``mine_constants`` / ``confidences_constants`` collect the triple set once
-and run the identical staged algebra as numpy merges on integer-coded
-terms; above the gate the distributed path is untouched — the 100 TB
-posture always takes the distributed loop.
+triples (default 200k, env-overridable; ``local_threshold=0`` forces
+distributed) the public entry points ``mine_constants`` /
+``confidences_constants`` collect the triple set once and run the
+IDENTICAL staged algebra — same survivor-set gating, same distinct-triple
+/ injective laws, same PCA branch machinery — as DuckDB SQL over
+integer-coded terms, with numpy for the per-rule law assembly and the
+canonical-string emission. Above the gate the distributed path is
+untouched — the 100 TB posture always takes the distributed loop.
+
+Engine choice, measured: a pure pandas-merge transliteration of the same
+algebra ran 245 s on the task13 input (single-threaded block copies at
+the 45-90M-row join intermediates); DuckDB's parallel hash joins and
+aggregates run it in seconds, and per-rule COUNTS are computed inside
+DuckDB (``_binding_counts``) so only rule-table-sized arrays cross the
+Arrow boundary. DuckDB here is driver-local compute like the numpy CC
+gate — the correctness oracle for the registry remains the independent
+DuckDB SQL written per query, and the hard parity anchors are the
+executed-reference dumps, not any SQL engine.
 
 Semantics are a 1:1 transliteration of the Spark expressions (reference
 cites live in mining/constants.py and mining/measures_constants.py;
@@ -19,7 +32,7 @@ RuleRefinement.scala / RuleCounting.scala / AtomCounting.scala). Parity
 is pinned three ways: the existing golden / brute / executed-reference
 suites (tests/test_constants_mining.py, test_refexec_parity.py,
 test_refexec_confidences.py, test_task13_parity.py) exercise THIS path at
-their small inputs once the gate is on; tests/test_local_constants.py
+their small inputs now that the gate is on; tests/test_local_constants.py
 asserts local == distributed row-for-row at the gate boundary; and the
 full task13 pipeline reproduces the executed reference's 951,333 rules.
 
@@ -31,8 +44,10 @@ Implementation notes:
   * triple identity = row index over the distinct triple set (the
     distributed path uses xxhash64 for shuffle-width reasons; only
     equality is ever tested, so any injective id is equivalent);
-  * countDistinct(a, b) per group = np.unique over (compact group id,
-    compact pair id) packed into one int64 — no Python loops.
+  * under Spark's ANSI mode a zero body/pca size would RAISE in the
+    distributed plan's division; the local path emits null instead —
+    the one documented divergence (only reachable on inputs where the
+    distributed path would crash).
 """
 
 from __future__ import annotations
